@@ -1,0 +1,66 @@
+"""Checkpoint / resume via orbax (SURVEY.md §5 "Checkpoint / resume").
+
+Saves (params, optimizer state, step, PRNG key) plus the experiment
+config hash; restore is exact — a resumed run continues bit-for-bit
+from the saved step (deterministic-resume test in CI).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from .config import ExperimentConfig
+from .train import TrainState
+
+__all__ = ["Checkpointer"]
+
+
+class Checkpointer:
+    def __init__(self, directory: str, cfg: ExperimentConfig, keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.cfg = cfg
+        self.manager = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep, create=True
+            ),
+        )
+        meta_path = os.path.join(self.directory, "config.json")
+        if not os.path.exists(meta_path):
+            with open(meta_path, "w") as f:
+                json.dump({"name": cfg.name, "hash": cfg.hash()}, f)
+
+    def save(self, state: TrainState) -> None:
+        self.manager.save(
+            int(state.step), args=ocp.args.StandardSave(state)
+        )
+        self.manager.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self.manager.latest_step()
+
+    def restore(self, state_like: TrainState, step: Optional[int] = None) -> TrainState:
+        """Restore into the structure of ``state_like`` (a freshly
+        initialized TrainState — defines dtypes/shapes/pytree layout)."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, state_like)
+        restored = self.manager.restore(
+            step, args=ocp.args.StandardRestore(abstract)
+        )
+        return restored
+
+    def check_config(self) -> bool:
+        """True when the on-disk config hash matches this experiment."""
+        meta_path = os.path.join(self.directory, "config.json")
+        if not os.path.exists(meta_path):
+            return True
+        with open(meta_path) as f:
+            return json.load(f).get("hash") == self.cfg.hash()

@@ -1,0 +1,253 @@
+"""Command-line entry points (SURVEY.md §2.1 `cli`).
+
+One CLI replaces the reference's per-experiment scripts/notebooks:
+
+  python -m longterm360fov_tpu prepare-data --out data.npz [--traces DIR]
+  python -m longterm360fov_tpu train --preset seq2seq-tf-30 [--data data.npz]
+  python -m longterm360fov_tpu eval --preset ... --ckpt DIR [--data ...]
+  python -m longterm360fov_tpu serve-bench --preset ...
+  python -m longterm360fov_tpu presets
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="longterm360fov_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pd = sub.add_parser("prepare-data", help="traces → packed windows npz")
+    pd.add_argument("--out", required=True)
+    pd.add_argument("--traces", help="directory of trace logs (per-video subdirs); synthetic store if omitted")
+    pd.add_argument("--h-in", type=int, default=30)
+    pd.add_argument("--h-out", type=int, default=30)
+    pd.add_argument("--rate-hz", type=float, default=10.0)
+    pd.add_argument("--stride", type=int, default=1)
+    pd.add_argument("--n-other-users", type=int, default=0)
+    pd.add_argument("--n-users", type=int, default=8, help="synthetic only")
+    pd.add_argument("--n-videos", type=int, default=2, help="synthetic only")
+    pd.add_argument("--n-frames", type=int, default=1200, help="synthetic only")
+
+    tr = sub.add_parser("train", help="train a preset")
+    tr.add_argument("--preset", required=True)
+    tr.add_argument("--data", help="packed npz from prepare-data; synthetic if omitted")
+    tr.add_argument("--steps", type=int)
+    tr.add_argument("--batch-size", type=int)
+    tr.add_argument("--lr", type=float)
+    tr.add_argument("--ckpt-dir")
+    tr.add_argument("--log-file")
+    tr.add_argument("--resume", action="store_true")
+    tr.add_argument("--data-parallel", action="store_true")
+
+    ev = sub.add_parser("eval", help="evaluate a checkpoint")
+    ev.add_argument("--preset", required=True)
+    ev.add_argument("--ckpt-dir", required=True)
+    ev.add_argument("--data")
+    ev.add_argument("--json", action="store_true")
+
+    sb = sub.add_parser("serve-bench", help="decode-throughput microbench")
+    sb.add_argument("--preset", default="seq2seq-tf-30")
+    sb.add_argument("--batch", type=int, default=4096)
+    sb.add_argument("--iters", type=int, default=30)
+
+    sub.add_parser("presets", help="list experiment presets")
+    return p
+
+
+def _load_or_synth_data(args, cfg):
+    from . import data as D
+    from . import traces as T
+
+    if getattr(args, "data", None):
+        packed = D.load_packed(args.data)
+        n = len(packed["past"])
+        cut = int(n * 0.9)
+        train_d = {k: v[:cut] for k, v in packed.items()}
+        test_d = {k: v[cut:] for k, v in packed.items()}
+        return train_d, test_d
+    store = T.synthetic_store(
+        n_users=8, n_videos=2, n_frames=1200, rate_hz=cfg.rate_hz,
+        seed=cfg.seed,
+    )
+    return D.windows_from_store(
+        store, cfg.model.h_in, cfg.model.h_out,
+        stride=cfg.stride, n_other_users=cfg.n_other_users
+        if cfg.model_family == "cross_user" else 0,
+    )
+
+
+def cmd_prepare_data(args):
+    from . import data as D
+    from . import traces as T
+
+    if args.traces:
+        store = T.TraceStore()
+        for path in sorted(
+            glob.glob(os.path.join(args.traces, "**", "*.*"), recursive=True)
+        ):
+            try:
+                tr = T.load_trace(path, rate_hz=args.rate_hz)
+            except (ValueError, OSError) as e:
+                print(f"skip {path}: {e}", file=sys.stderr)
+                continue
+            store.add(tr)
+    else:
+        store = T.synthetic_store(
+            n_users=args.n_users, n_videos=args.n_videos,
+            n_frames=args.n_frames, rate_hz=args.rate_hz,
+        )
+    train_d, test_d = D.windows_from_store(
+        store, args.h_in, args.h_out, stride=args.stride,
+        n_other_users=args.n_other_users,
+    )
+    D.save_packed(args.out, train_d)
+    test_path = args.out.replace(".npz", "") + "_test.npz"
+    D.save_packed(test_path, test_d)
+    print(
+        f"wrote {len(train_d['past'])} train / {len(test_d['past'])} test "
+        f"windows from {len(store)} traces → {args.out}, {test_path}"
+    )
+
+
+def cmd_train(args):
+    from . import train as TR
+    from .config import get_preset
+    from .models import get_family
+
+    over = {}
+    for k in ("steps", "batch_size", "lr"):
+        v = getattr(args, k)
+        if v is not None:
+            over[k] = v
+    if args.data_parallel:
+        over["data_parallel"] = True
+    cfg = get_preset(args.preset, **over)
+    fam = get_family(cfg.model_family)
+    train_d, test_d = _load_or_synth_data(args, cfg)
+    h_in, h_out = train_d["past"].shape[1], train_d["future"].shape[1]
+    if (h_in, h_out) != (cfg.model.h_in, cfg.model.h_out):
+        raise SystemExit(
+            f"data windows are {h_in}-in/{h_out}-out but preset "
+            f"{cfg.name!r} expects {cfg.model.h_in}-in/{cfg.model.h_out}-out; "
+            f"re-run prepare-data with matching --h-in/--h-out"
+        )
+    if cfg.batch_size > len(train_d["past"]):
+        cfg = cfg.replace(batch_size=len(train_d["past"]))
+
+    state = None
+    if args.resume and args.ckpt_dir:
+        from . import checkpoint as C
+
+        opt = TR.make_optimizer(cfg)
+        ck = C.Checkpointer(args.ckpt_dir, cfg)
+        if ck.latest_step() is not None:
+            state = ck.restore(TR.init_state(cfg, fam.init, opt))
+            print(f"resumed from step {int(state.step)}")
+
+    if cfg.data_parallel:
+        from .parallel import train_loop_dp
+
+        state, history = train_loop_dp(
+            cfg, fam.init, fam.apply, train_d,
+            eval_data=test_d or None, log_file=args.log_file,
+            checkpoint_dir=args.ckpt_dir, state=state,
+        )
+    else:
+        state, history = TR.train_loop(
+            cfg, fam.init, fam.apply, train_d,
+            eval_data=test_d or None, log_file=args.log_file,
+            checkpoint_dir=args.ckpt_dir, state=state,
+        )
+    if history:
+        print(json.dumps(history[-1]))
+
+
+def cmd_eval(args):
+    from . import checkpoint as C
+    from . import evaluate as E
+    from . import train as TR
+    from .config import get_preset
+    from .models import get_family
+
+    cfg = get_preset(args.preset)
+    fam = get_family(cfg.model_family)
+    opt = TR.make_optimizer(cfg)
+    ck = C.Checkpointer(args.ckpt_dir, cfg)
+    state = ck.restore(TR.init_state(cfg, fam.init, opt))
+    _, test_d = _load_or_synth_data(args, cfg)
+    res = E.evaluate(state.params, cfg, fam.apply, test_d)
+    if args.json:
+        print(json.dumps(res))
+    else:
+        print(E.comparison_table({cfg.name: res}))
+
+
+def cmd_serve_bench(args):
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from . import infer
+    from .config import get_preset
+    from .models import get_family
+
+    cfg = get_preset(args.preset)
+    fam = get_family(cfg.model_family)
+    params = fam.init(jax.random.PRNGKey(0), cfg.model)
+    rng = np.random.default_rng(0)
+    past = rng.normal(size=(args.batch, cfg.model.h_in, 3)).astype(np.float32)
+    past /= np.linalg.norm(past, axis=-1, keepdims=True)
+    past = jnp.asarray(past)
+    serve = infer.make_predict_fn(params, cfg, fam.apply, with_tiles=True)
+    t0 = time.time()
+    jax.block_until_ready(serve(past))
+    print(f"compile {time.time()-t0:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    for _ in range(args.iters):
+        out = serve(past)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "viewers_per_sec": round(args.batch * args.iters / dt, 1),
+                "batch": args.batch,
+                "horizon": cfg.model.h_out,
+            }
+        )
+    )
+
+
+def cmd_presets(_args):
+    from .config import PRESETS
+
+    for name, cfg in PRESETS.items():
+        m = cfg.model
+        print(
+            f"{name:<24} family={cfg.model_family:<12} "
+            f"h_in={m.h_in} h_out={m.h_out} hidden={m.hidden} layers={m.layers}"
+        )
+
+
+def main(argv=None):
+    args = _build_parser().parse_args(argv)
+    {
+        "prepare-data": cmd_prepare_data,
+        "train": cmd_train,
+        "eval": cmd_eval,
+        "serve-bench": cmd_serve_bench,
+        "presets": cmd_presets,
+    }[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,121 @@
+"""Typed experiment configuration + named presets.
+
+Rebuild of the reference's per-script constants/argparse config scatter
+(SURVEY.md §2.1 `config`) as frozen dataclasses: one named preset per
+capability row in BASELINE.json:7-11, CLI-overridable, hashable (usable
+as jit static args), and serialized into checkpoints for exact resume.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+from typing import Dict
+
+from .models.seq2seq import Seq2SeqConfig
+
+__all__ = ["ExperimentConfig", "PRESETS", "get_preset"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    name: str
+    model: Seq2SeqConfig = Seq2SeqConfig()
+    model_family: str = "seq2seq"  # seq2seq | cross_user | fusion | transformer
+
+    # -- training ----------------------------------------------------------
+    batch_size: int = 128
+    lr: float = 1e-3
+    grad_clip: float = 1.0
+    steps: int = 2000
+    eval_every: int = 200
+    ckpt_every: int = 500
+    gc_weight: float = 0.0  # blend of spherical great-circle loss
+    # scheduled sampling: teacher_prob anneals ss_start → ss_end over steps
+    scheduled_sampling: bool = False
+    ss_start: float = 1.0
+    ss_end: float = 0.0
+
+    # -- data --------------------------------------------------------------
+    rate_hz: float = 10.0
+    stride: int = 1
+    n_other_users: int = 4  # cross-user context size (K peers)
+    seed: int = 0
+
+    # -- parallel ----------------------------------------------------------
+    data_parallel: bool = False  # shard batch over all local devices
+
+    def hash(self) -> str:
+        """Stable content hash, stored in checkpoints (SURVEY.md §5)."""
+        d = dataclasses.asdict(self)
+        return hashlib.sha256(
+            json.dumps(d, sort_keys=True).encode()
+        ).hexdigest()[:16]
+
+    def replace(self, **kw) -> "ExperimentConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def _presets() -> Dict[str, ExperimentConfig]:
+    """One preset per BASELINE.json config row (lines 7-11)."""
+    return {
+        # BASELINE.json:7 — 1-layer LSTM, xyz, 10-in/10-out, single viewer
+        "lstm-xyz-10": ExperimentConfig(
+            name="lstm-xyz-10",
+            model=Seq2SeqConfig(d=3, hidden=128, layers=1, h_in=10, h_out=10),
+        ),
+        # BASELINE.json:8 — seq2seq encoder–decoder, 30-frame horizon,
+        # teacher forcing, batched traces
+        "seq2seq-tf-30": ExperimentConfig(
+            name="seq2seq-tf-30",
+            model=Seq2SeqConfig(d=3, hidden=128, layers=1, h_in=30, h_out=30),
+        ),
+        # BASELINE.json:9 — stacked LSTM + scheduled sampling,
+        # multi-viewer cross-user prediction
+        "stacked-ss-crossuser": ExperimentConfig(
+            name="stacked-ss-crossuser",
+            model=Seq2SeqConfig(
+                d=3, hidden=128, layers=2, h_in=30, h_out=30, ctx_dim=128
+            ),
+            model_family="cross_user",
+            scheduled_sampling=True,
+        ),
+        # BASELINE.json:10 — video-aware fusion: equirect saliency/conv
+        # features + trajectory seq2seq
+        "video-fusion": ExperimentConfig(
+            name="video-fusion",
+            model=Seq2SeqConfig(
+                d=3, hidden=128, layers=2, h_in=30, h_out=30, ctx_dim=64
+            ),
+            model_family="fusion",
+            scheduled_sampling=True,
+        ),
+        # BASELINE.json:11 — Transformer seq2seq, 10 s horizon (100 frames
+        # @10 Hz), cross-viewer attention (stretch)
+        "transformer-10s": ExperimentConfig(
+            name="transformer-10s",
+            model=Seq2SeqConfig(d=3, hidden=128, layers=4, h_in=100, h_out=100),
+            model_family="transformer",
+        ),
+    }
+
+
+PRESETS: Dict[str, ExperimentConfig] = _presets()
+
+
+def get_preset(name: str, **overrides) -> ExperimentConfig:
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; have {sorted(PRESETS)}")
+    cfg = PRESETS[name]
+    if overrides:
+        model_over = {
+            k[6:]: v for k, v in overrides.items() if k.startswith("model_") and k != "model_family"
+        }
+        top_over = {
+            k: v for k, v in overrides.items() if not (k.startswith("model_") and k != "model_family")
+        }
+        if model_over:
+            top_over["model"] = dataclasses.replace(cfg.model, **model_over)
+        cfg = dataclasses.replace(cfg, **top_over)
+    return cfg

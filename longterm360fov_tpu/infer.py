@@ -1,0 +1,111 @@
+"""Inference runtime: batched autoregressive decode + tile prefetch.
+
+The north-star serving path (SURVEY.md §3.3; BASELINE.json:5 "batched
+autoregressive decode over many concurrent viewers so a streaming
+server can prefetch tiles"): many viewers' recent head-pose windows go
+in, per-viewer predicted (yaw, pitch) trajectories and prefetch tile
+sets come out.
+
+TPU-native design: normalize → encode → H_out-step decode → denormalize
+→ xyz→euler → tile mask is ONE jitted program. The only host↔device
+traffic is the input upload and the final readback — no per-step sync
+(SURVEY.md §7 hard part 4). Throughput clock: viewer-trajectories/sec/
+chip at the 30-frame horizon (BASELINE.json:2).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import geometry, windows
+from .config import ExperimentConfig
+from .models import seq2seq
+
+__all__ = ["predict_batch", "predict_euler", "tiles_for_fov", "make_predict_fn"]
+
+
+def _forward(params, cfg: ExperimentConfig, apply_fn, past, context):
+    """Shared decode core: raw past window → predicted xyz on the sphere."""
+    past_n, _, anchor = windows.normalize_window(past)
+    kwargs = {} if context is None else {"context": context}
+    pred_n = apply_fn(params, cfg.model, past_n, None, **kwargs)
+    return windows.denormalize_window(pred_n, anchor, to_sphere=True)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def predict_batch(params, cfg: ExperimentConfig, apply_fn, past, context=None):
+    """(B, H_in, 3) raw xyz windows → (B, H_out, 3) predicted unit vectors."""
+    return _forward(params, cfg, apply_fn, past, context)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def predict_euler(params, cfg: ExperimentConfig, apply_fn, past, context=None):
+    """Raw past windows → predicted (yaw, pitch) each (B, H_out), radians —
+    the reference's output format for the streaming server."""
+    xyz = _forward(params, cfg, apply_fn, past, context)
+    return geometry.xyz_to_euler(xyz)
+
+
+def make_predict_fn(
+    params, cfg: ExperimentConfig, apply_fn, *, with_tiles: bool = False,
+    tile_rows: int = 6, tile_cols: int = 12, fov_deg: float = 90.0,
+) -> Callable:
+    """Close over params/config → a single jitted serving function.
+
+    Used by the benchmark and the serve path so params upload once and
+    every call is pure dispatch.
+    """
+
+    def serve(past, context=None):
+        xyz = _forward(params, cfg, apply_fn, past, context)
+        if not with_tiles:
+            return xyz
+        return xyz, tiles_for_fov(
+            xyz, tile_rows=tile_rows, tile_cols=tile_cols, fov_deg=fov_deg
+        )
+
+    return jax.jit(serve)
+
+
+def tile_centers(tile_rows: int, tile_cols: int) -> jax.Array:
+    """Unit-vector centers of an equirectangular tile grid, (R*C, 3).
+
+    Row r spans pitch (pi/2 - r·pi/R ...), col c spans yaw; centers sit
+    mid-tile. Matches the tiling used by 360° streaming servers over the
+    equirect frame.
+    """
+    r = jnp.arange(tile_rows) + 0.5
+    c = jnp.arange(tile_cols) + 0.5
+    pitch = jnp.pi / 2 - r / tile_rows * jnp.pi  # (R,) top→bottom
+    yaw = -jnp.pi + c / tile_cols * 2 * jnp.pi  # (C,)
+    yy, pp = jnp.meshgrid(yaw, pitch)  # (R, C)
+    return geometry.euler_to_xyz(yy.ravel(), pp.ravel())  # (R*C, 3)
+
+
+def tiles_for_fov(
+    pred_xyz: jax.Array,
+    *,
+    tile_rows: int = 6,
+    tile_cols: int = 12,
+    fov_deg: float = 90.0,
+) -> jax.Array:
+    """Prefetch mask: which tiles the predicted viewport may touch.
+
+    pred_xyz: (..., 3) view directions → bool (..., R*C). A tile is
+    fetched when its center lies within fov/2 + half the tile diagonal
+    of the view direction — a conservative angular-overlap test that is
+    fully vectorized (one (N, R*C) matmul-like cross product batch)
+    instead of the per-tile host loop a CPU implementation would use.
+    """
+    centers = tile_centers(tile_rows, tile_cols)  # (M, 3)
+    ang = geometry.great_circle_deg(
+        pred_xyz[..., None, :], centers
+    )  # (..., M)
+    tile_radius_deg = 0.5 * jnp.degrees(
+        jnp.sqrt((jnp.pi / tile_rows) ** 2 + (2 * jnp.pi / tile_cols) ** 2)
+    )
+    return ang <= (fov_deg / 2.0 + tile_radius_deg)

@@ -1,0 +1,216 @@
+"""Seq2seq LSTM encoder–decoder for FoV trajectory prediction.
+
+Rebuild of the reference's core model family (SURVEY.md §2.1
+`models.lstm` / `models.seq2seq` / `models.stacked_ss`; configs
+BASELINE.json:7-9): an LSTM encoder consumes the observed (past)
+window; an LSTM decoder autoregressively emits the future horizon, with
+teacher forcing and scheduled sampling at train time.
+
+TPU-native design decisions (vs. the reference's per-step Python loop):
+
+* The whole horizon — encode and decode — is two `jax.lax.scan` calls,
+  traced once and compiled by XLA into a single fused loop. No per-step
+  host sync, no dynamic shapes (SURVEY.md §7 hard part 4).
+* Scheduled sampling runs INSIDE the scan: per-step, per-sample
+  Bernoulli draws choose teacher vs. model input via `jnp.where`
+  (no Python branching — SURVEY.md §7 hard part 2). The sampling
+  probability is a traced scalar so annealing it every epoch does NOT
+  trigger recompilation.
+* One LSTMParams per layer with a fused 4-gate matmul (see
+  ``models.cell``); stacking is a static Python loop over layers inside
+  the scan step, unrolled at trace time.
+* Optional per-viewer context vector (cross-user / video features) is
+  concatenated to every decoder input — the fusion hook used by
+  ``models.cross_user`` and ``models.fusion``.
+
+All functions are pure; params are plain pytrees (dicts/NamedTuples) so
+they shard transparently under `pjit`/`shard_map`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .cell import LSTMParams, get_cell_fn, init_lstm
+
+__all__ = ["Seq2SeqConfig", "init", "apply", "decode"]
+
+
+@dataclasses.dataclass(frozen=True)
+class Seq2SeqConfig:
+    """Static model hyperparameters (hashable ⇒ usable as a jit static arg)."""
+
+    d: int = 3  # coordinate dim: 3 (xyz) or 2 (yaw, pitch)
+    hidden: int = 128
+    layers: int = 1  # encoder and decoder depth (stacked variant: >1)
+    h_in: int = 10
+    h_out: int = 10
+    ctx_dim: int = 0  # per-viewer context appended to decoder inputs
+    cell: str = "xla"  # "xla" | "pallas"
+    param_dtype: str = "float32"
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.param_dtype)
+
+
+Params = Dict[str, Any]
+
+
+def init(key: jax.Array, cfg: Seq2SeqConfig) -> Params:
+    """Initialize encoder/decoder stacks + output projection."""
+    n_keys = 2 * cfg.layers + 1
+    keys = jax.random.split(key, n_keys)
+    dt = cfg.dtype
+    enc, dec = [], []
+    for l in range(cfg.layers):
+        enc_in = cfg.d if l == 0 else cfg.hidden
+        dec_in = (cfg.d + cfg.ctx_dim) if l == 0 else cfg.hidden
+        enc.append(init_lstm(keys[2 * l], enc_in, cfg.hidden, dt))
+        dec.append(init_lstm(keys[2 * l + 1], dec_in, cfg.hidden, dt))
+    limit = jnp.sqrt(6.0 / (cfg.hidden + cfg.d))
+    proj_w = jax.random.uniform(
+        keys[-1], (cfg.hidden, cfg.d), dt, minval=-limit, maxval=limit
+    )
+    return {
+        "encoder": enc,
+        "decoder": dec,
+        "proj": {"w": proj_w, "b": jnp.zeros((cfg.d,), dt)},
+    }
+
+
+def _zero_state(batch: int, cfg: Seq2SeqConfig):
+    z = jnp.zeros((batch, cfg.hidden), cfg.dtype)
+    return tuple((z, z) for _ in range(cfg.layers))
+
+
+def _encode(params: Params, cfg: Seq2SeqConfig, past_n: jax.Array):
+    """Run the encoder stack over the past window.
+
+    past_n: (B, H_in, D) → final per-layer states tuple.
+    Time-major scan; the per-step body unrolls the (static) layer stack.
+    """
+    cell_fn = get_cell_fn(cfg.cell)
+    xs = jnp.swapaxes(past_n.astype(cfg.dtype), 0, 1)  # (T, B, D)
+
+    def step(states, x):
+        new_states = []
+        inp = x
+        for l, p in enumerate(params["encoder"]):
+            st = cell_fn(p, inp, states[l])
+            new_states.append(st)
+            inp = st[0]
+        return tuple(new_states), None
+
+    states, _ = lax.scan(step, _zero_state(past_n.shape[0], cfg), xs)
+    return states
+
+
+def _project(params: Params, h: jax.Array) -> jax.Array:
+    return (
+        jnp.dot(h, params["proj"]["w"], preferred_element_type=jnp.float32)
+        + params["proj"]["b"]
+    )
+
+
+def apply(
+    params: Params,
+    cfg: Seq2SeqConfig,
+    past_n: jax.Array,
+    future_n: Optional[jax.Array] = None,
+    *,
+    rng: Optional[jax.Array] = None,
+    teacher_prob: float | jax.Array = 1.0,
+    context: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Full forward pass → normalized predictions (B, H_out, D).
+
+    Modes (selected at trace time by which args are given):
+      * ``future_n`` given, ``rng`` None  → pure teacher forcing
+        (config BASELINE.json:8).
+      * ``future_n`` given, ``rng`` given → scheduled sampling: each
+        decoder step draws a per-sample Bernoulli(teacher_prob) to pick
+        teacher vs. own previous output (BASELINE.json:9).
+        ``teacher_prob`` may be a traced scalar (anneal without recompile).
+      * ``future_n`` None → pure autoregressive decode (inference).
+
+    ``context``: optional (B, ctx_dim) vector appended to every decoder
+    input (cross-user / video-aware fusion hook).
+    """
+    cell_fn = get_cell_fn(cfg.cell)
+    batch = past_n.shape[0]
+    states0 = _encode(params, cfg, past_n)
+    y0 = past_n[:, -1, :].astype(cfg.dtype)  # last observed position
+
+    if context is not None:
+        context = context.astype(cfg.dtype)
+
+    def cat_ctx(x):
+        return x if context is None else jnp.concatenate([x, context], -1)
+
+    def run_layers(states, x):
+        new_states = []
+        inp = x
+        for l, p in enumerate(params["decoder"]):
+            st = cell_fn(p, inp, states[l])
+            new_states.append(st)
+            inp = st[0]
+        return tuple(new_states), inp
+
+    if future_n is None:
+        # autoregressive: feed own output back
+        def dec_step(carry, _):
+            states, y_prev = carry
+            states, h = run_layers(states, cat_ctx(y_prev))
+            y = _project(params, h).astype(cfg.dtype)
+            return (states, y), y
+
+        _, ys = lax.scan(
+            dec_step, (states0, y0), None, length=cfg.h_out
+        )
+    else:
+        fut = jnp.swapaxes(future_n.astype(cfg.dtype), 0, 1)  # (H_out, B, D)
+        # teacher input at step t is the TRUE position at t-1
+        teacher_in = jnp.concatenate([y0[None], fut[:-1]], axis=0)
+        if rng is None:
+            # pure teacher forcing — no feedback path, fully parallel
+            # over steps as far as XLA can see past the recurrence
+            def dec_step(carry, x_t):
+                states, _ = carry
+                states, h = run_layers(states, cat_ctx(x_t))
+                y = _project(params, h).astype(cfg.dtype)
+                return (states, y), y
+
+            _, ys = lax.scan(dec_step, (states0, y0), teacher_in)
+        else:
+            keys = jax.random.split(rng, cfg.h_out)
+            p = jnp.asarray(teacher_prob, jnp.float32)
+
+            def dec_step(carry, xs_t):
+                states, y_prev = carry
+                teacher_x, key_t = xs_t
+                coin = jax.random.bernoulli(key_t, p, (batch, 1))
+                x = jnp.where(coin, teacher_x, y_prev)
+                states, h = run_layers(states, cat_ctx(x))
+                y = _project(params, h).astype(cfg.dtype)
+                return (states, y), y
+
+            _, ys = lax.scan(dec_step, (states0, y0), (teacher_in, keys))
+
+    return jnp.swapaxes(ys, 0, 1).astype(jnp.float32)  # (B, H_out, D)
+
+
+def decode(
+    params: Params,
+    cfg: Seq2SeqConfig,
+    past_n: jax.Array,
+    *,
+    context: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Pure autoregressive decode (inference path, SURVEY.md §3.3)."""
+    return apply(params, cfg, past_n, None, context=context)

@@ -1,0 +1,227 @@
+"""Training runtime: one jitted train step + the epoch loop around it.
+
+Rebuild of the reference's per-experiment training loops (SURVEY.md
+§2.1 `train`, §3.2) as a single jitted, donated `train_step` shared by
+every model family:
+
+* loss/grad/optimizer-update compile into ONE XLA program; the state
+  buffers are donated so params update in place in HBM,
+* teacher-forcing / scheduled-sampling probability is a traced scalar
+  (annealed per step with NO recompilation),
+* under data parallelism the same step runs inside `shard_map` with a
+  `jax.lax.psum` gradient sync over the 'data' mesh axis
+  (BASELINE.json:5) — see ``parallel.mesh``,
+* metrics stream out as a JSONL log (SURVEY.md §5 observability).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Iterator, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from . import losses, windows
+from .config import ExperimentConfig
+
+__all__ = ["TrainState", "make_optimizer", "make_train_step", "train_loop", "batch_iterator"]
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array  # scalar int32
+    rng: jax.Array
+
+
+def make_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adam(cfg.lr),
+    )
+
+
+def teacher_prob_at(cfg: ExperimentConfig, step) -> jax.Array:
+    """Linear anneal ss_start → ss_end over the run (traced-scalar safe)."""
+    if not cfg.scheduled_sampling:
+        return jnp.asarray(1.0, jnp.float32)
+    frac = jnp.clip(step / max(cfg.steps, 1), 0.0, 1.0)
+    return cfg.ss_start + (cfg.ss_end - cfg.ss_start) * frac
+
+
+def make_train_step(
+    cfg: ExperimentConfig,
+    apply_fn: Callable,
+    optimizer: optax.GradientTransformation,
+    *,
+    axis_name: Optional[str] = None,
+) -> Callable:
+    """Build the jitted train step.
+
+    ``apply_fn(params, model_cfg, past_n, future_n, rng=, teacher_prob=,
+    context=)`` is any model family's forward. When ``axis_name`` is set
+    the step is meant to run inside shard_map and psums grads/metrics
+    over that mesh axis.
+
+    The returned step takes (state, batch) with batch =
+    {"past": (B,H_in,D) raw, "future": (B,H_out,D) raw, "context":
+    optional (B,ctx)} and returns (state, metrics). Normalization happens
+    INSIDE the step so it fuses with the model instead of being a
+    separate HBM pass (SURVEY.md §1 L2).
+    """
+
+    def loss_fn(params, batch, rng, teacher_prob):
+        past_n, future_n, anchor = windows.normalize_window(
+            batch["past"], batch["future"]
+        )
+        kwargs = {}
+        if batch.get("context") is not None:
+            kwargs["context"] = batch["context"]
+        pred_n = apply_fn(
+            params,
+            cfg.model,
+            past_n,
+            future_n,
+            rng=rng if cfg.scheduled_sampling else None,
+            teacher_prob=teacher_prob,
+            **kwargs,
+        )
+        pred_xyz = windows.denormalize_window(pred_n, anchor, to_sphere=True)
+        true_xyz = batch["future"]
+        loss = losses.combined_loss(
+            pred_n, future_n, pred_xyz, true_xyz, gc_weight=cfg.gc_weight
+        )
+        gc_deg = losses.great_circle_deg_metric(pred_xyz, true_xyz)
+        return loss, gc_deg
+
+    def step_fn(state: TrainState, batch: Dict[str, jax.Array]):
+        rng, sub = jax.random.split(state.rng)
+        tp = teacher_prob_at(cfg, state.step)
+        (loss, gc_deg), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, sub, tp
+        )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+            gc_deg = jax.lax.pmean(gc_deg, axis_name)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params, opt_state, state.step + 1, rng)
+        metrics = {"loss": loss, "great_circle_deg": gc_deg, "teacher_prob": tp}
+        return new_state, metrics
+
+    if axis_name is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+    return step_fn  # caller wraps in shard_map + jit
+
+
+def init_state(
+    cfg: ExperimentConfig,
+    init_fn: Callable,
+    optimizer: optax.GradientTransformation,
+    rng: Optional[jax.Array] = None,
+) -> TrainState:
+    rng = jax.random.PRNGKey(cfg.seed) if rng is None else rng
+    rng, sub = jax.random.split(rng)
+    params = init_fn(sub, cfg.model)
+    return TrainState(
+        params=params,
+        opt_state=optimizer.init(params),
+        step=jnp.asarray(0, jnp.int32),
+        rng=rng,
+    )
+
+
+def batch_iterator(
+    data: Dict[str, np.ndarray],
+    batch_size: int,
+    seed: int = 0,
+    drop_remainder: bool = True,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Endless shuffled minibatch stream over packed window arrays.
+
+    Host-side numpy; reshuffles every epoch. Static batch shape (drops
+    the ragged tail) so the jitted step never recompiles.
+    """
+    n = len(data["past"])
+    if batch_size > n:
+        raise ValueError(f"batch_size {batch_size} > dataset size {n}")
+    rng = np.random.default_rng(seed)
+    while True:
+        order = rng.permutation(n)
+        for i in range(0, n - batch_size + 1, batch_size):
+            idx = order[i : i + batch_size]
+            yield {
+                k: v[idx] for k, v in data.items() if v is not None
+            }
+
+
+def train_loop(
+    cfg: ExperimentConfig,
+    init_fn: Callable,
+    apply_fn: Callable,
+    data: Dict[str, np.ndarray],
+    *,
+    eval_data: Optional[Dict[str, np.ndarray]] = None,
+    log_file: Optional[str] = None,
+    checkpoint_dir: Optional[str] = None,
+    state: Optional[TrainState] = None,
+) -> Tuple[TrainState, list]:
+    """Single-device training loop (the DP loop lives in parallel.mesh).
+
+    Returns the final state and the metrics history. Resumable: pass a
+    restored ``state`` to continue from its step counter.
+    """
+    optimizer = make_optimizer(cfg)
+    step_fn = make_train_step(cfg, apply_fn, optimizer)
+    if state is None:
+        state = init_state(cfg, init_fn, optimizer)
+    it = batch_iterator(
+        {k: v for k, v in data.items()}, cfg.batch_size, cfg.seed
+    )
+    history = []
+    log_fh = open(log_file, "a") if log_file else None
+    ckpt = None
+    if checkpoint_dir:
+        from . import checkpoint as ckpt_mod
+
+        ckpt = ckpt_mod.Checkpointer(checkpoint_dir, cfg)
+
+    start_step = int(state.step)
+    # fast-forward the (deterministic) batch stream so a resumed run
+    # consumes exactly the batches the interrupted run would have
+    for _ in range(start_step):
+        next(it)
+    t0 = time.time()
+    for i in range(start_step, cfg.steps):
+        batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+        state, metrics = step_fn(state, batch)
+        if (i + 1) % cfg.eval_every == 0 or i + 1 == cfg.steps:
+            m = {k: float(v) for k, v in metrics.items()}
+            m["step"] = i + 1
+            m["steps_per_sec"] = (i + 1 - start_step) / max(
+                time.time() - t0, 1e-9
+            )
+            if eval_data is not None:
+                from . import evaluate as ev
+
+                eres = ev.evaluate(
+                    state.params, cfg, apply_fn, eval_data
+                )
+                m["eval_great_circle_deg"] = eres["mean_deg"]
+            history.append(m)
+            if log_fh:
+                log_fh.write(json.dumps(m) + "\n")
+                log_fh.flush()
+        if ckpt and ((i + 1) % cfg.ckpt_every == 0 or i + 1 == cfg.steps):
+            ckpt.save(state)
+    if log_fh:
+        log_fh.close()
+    return state, history

@@ -1,0 +1,60 @@
+"""Checkpoint/resume determinism (SURVEY.md §5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from longterm360fov_tpu import checkpoint as C
+from longterm360fov_tpu import train as T
+from longterm360fov_tpu.config import ExperimentConfig
+from longterm360fov_tpu.models.seq2seq import Seq2SeqConfig, apply, init
+
+
+def _small_cfg():
+    return ExperimentConfig(
+        name="ckpt-test",
+        model=Seq2SeqConfig(d=3, hidden=16, layers=1, h_in=5, h_out=5),
+        batch_size=8,
+        steps=6,
+        eval_every=100,
+    )
+
+
+def test_save_restore_roundtrip(tmp_path):
+    cfg = _small_cfg()
+    opt = T.make_optimizer(cfg)
+    state = T.init_state(cfg, init, opt)
+    ckpt = C.Checkpointer(str(tmp_path / "ck"), cfg)
+    ckpt.save(state)
+    assert ckpt.latest_step() == 0
+
+    fresh = T.init_state(cfg, init, opt, rng=jax.random.PRNGKey(99))
+    restored = ckpt.restore(fresh)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert ckpt.check_config()
+
+
+def test_resume_is_deterministic(tmp_path):
+    """train N steps straight == train k, checkpoint, restore, train N-k."""
+    cfg = _small_cfg()
+    rng = np.random.default_rng(0)
+    data = {
+        "past": rng.normal(size=(32, 5, 3)).astype(np.float32),
+        "future": rng.normal(size=(32, 5, 3)).astype(np.float32),
+    }
+
+    state_full, _ = T.train_loop(cfg, init, apply, data)
+
+    cfg3 = cfg.replace(steps=3)
+    state_half, _ = T.train_loop(cfg3, init, apply, data)
+    ckpt = C.Checkpointer(str(tmp_path / "ck"), cfg)
+    ckpt.save(state_half)
+    opt = T.make_optimizer(cfg)
+    restored = ckpt.restore(T.init_state(cfg, init, opt))
+    state_resumed, _ = T.train_loop(cfg, init, apply, data, state=restored)
+
+    for a, b in zip(
+        jax.tree.leaves(state_full.params), jax.tree.leaves(state_resumed.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
