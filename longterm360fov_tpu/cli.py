@@ -152,19 +152,20 @@ def cmd_train(args):
             state = ck.restore(TR.init_state(cfg, fam.init, opt))
             print(f"resumed from step {int(state.step)}")
 
+    extras_fn = getattr(fam, "batch_extras", None)
     if cfg.data_parallel:
         from .parallel import train_loop_dp
 
         state, history = train_loop_dp(
             cfg, fam.init, fam.apply, train_d,
             eval_data=test_d or None, log_file=args.log_file,
-            checkpoint_dir=args.ckpt_dir, state=state,
+            checkpoint_dir=args.ckpt_dir, state=state, extras_fn=extras_fn,
         )
     else:
         state, history = TR.train_loop(
             cfg, fam.init, fam.apply, train_d,
             eval_data=test_d or None, log_file=args.log_file,
-            checkpoint_dir=args.ckpt_dir, state=state,
+            checkpoint_dir=args.ckpt_dir, state=state, extras_fn=extras_fn,
         )
     if history:
         print(json.dumps(history[-1]))
@@ -183,7 +184,10 @@ def cmd_eval(args):
     ck = C.Checkpointer(args.ckpt_dir, cfg)
     state = ck.restore(TR.init_state(cfg, fam.init, opt))
     _, test_d = _load_or_synth_data(args, cfg)
-    res = E.evaluate(state.params, cfg, fam.apply, test_d)
+    res = E.evaluate(
+        state.params, cfg, fam.apply, test_d,
+        extras_fn=getattr(fam, "batch_extras", None),
+    )
     if args.json:
         print(json.dumps(res))
     else:

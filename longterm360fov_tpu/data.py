@@ -26,6 +26,7 @@ def windows_from_store(
     stride: int = 1,
     train_frac: float = 0.8,
     n_other_users: int = 0,
+    video_features: Optional[Dict[str, np.ndarray]] = None,
 ) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
     """Build (train, test) dicts of packed windows from every trace.
 
@@ -34,6 +35,12 @@ def windows_from_store(
     other viewers of the same video (the cross-user signal,
     arXiv:1902.01439 §III.C). Missing peers are zero-padded with a
     matching ``other_mask``.
+
+    With ``video_features`` = {video_name: (T_video, F) per-frame
+    feature vectors from features.equirect}, each window carries
+    ``features``: (F,) — the mean feature over the window's FUTURE
+    frame span (legitimate for on-demand video; BASELINE.json:10).
+    Traces are assumed frame-aligned with their video's feature array.
     """
     span = h_in + h_out
     out = {True: [], False: []}  # is_train → list of per-trace dicts
@@ -49,6 +56,17 @@ def windows_from_store(
                 continue
             wb = make_windows(tr.xyz[lo:hi], h_in, h_out, stride)
             entry = {"past": wb.past, "future": wb.future}
+            if video_features is not None and tr.video in video_features:
+                vf = np.asarray(video_features[tr.video], np.float32)
+                n_win = len(wb.past)
+                feats = np.zeros((n_win, vf.shape[-1]), np.float32)
+                for w in range(n_win):
+                    # future span of window w within this segment
+                    a = lo + w * stride + h_in
+                    b = min(a + h_out, len(vf))
+                    if a < len(vf):
+                        feats[w] = vf[a:b].mean(axis=0)
+                entry["features"] = feats
             if n_other_users:
                 n_win = len(wb.past)
                 others = np.zeros(

@@ -27,12 +27,14 @@ def evaluate(
     data: Dict[str, np.ndarray],
     *,
     batch_size: Optional[int] = None,
+    extras_fn: Optional[Callable] = None,
 ) -> Dict:
     """Decode the test split and aggregate error curves.
 
-    data: {"past": (N,H_in,3), "future": (N,H_out,3), "context":
-    optional}. Batched to a static shape (pad-and-mask on the last
-    batch) so the jitted decode compiles once.
+    data: {"past": (N,H_in,3), "future": (N,H_out,3), + any family
+    extras (context / other_future / other_mask / features)}. Batched to
+    a static shape (pad-and-mask on the last batch) so the jitted decode
+    compiles once.
     """
     from . import infer
 
@@ -41,21 +43,18 @@ def evaluate(
     sums = np.zeros(data["future"].shape[1], np.float64)
     count = 0
     for i in range(0, n, bs):
-        past = data["past"][i : i + bs]
-        fut = data["future"][i : i + bs]
-        ctx = None
-        if data.get("context") is not None:
-            ctx = data["context"][i : i + bs]
-        m = len(past)
+        chunk = {k: v[i : i + bs] for k, v in data.items() if v is not None}
+        m = len(chunk["past"])
         if m < bs:  # pad to static shape, mask out the tail
-            pad = bs - m
-            past = np.concatenate([past, np.repeat(past[-1:], pad, 0)])
-            fut = np.concatenate([fut, np.repeat(fut[-1:], pad, 0)])
-            if ctx is not None:
-                ctx = np.concatenate([ctx, np.repeat(ctx[-1:], pad, 0)])
+            chunk = {
+                k: np.concatenate([v, np.repeat(v[-1:], bs - m, 0)])
+                for k, v in chunk.items()
+            }
+        fut = chunk.pop("future")
         pred = infer.predict_batch(
-            params, cfg, apply_fn, jnp.asarray(past),
-            None if ctx is None else jnp.asarray(ctx),
+            params, cfg, apply_fn,
+            {k: jnp.asarray(v) for k, v in chunk.items()},
+            None, extras_fn,
         )
         deg = np.asarray(
             losses.great_circle_deg(pred, jnp.asarray(fut))

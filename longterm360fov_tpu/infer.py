@@ -28,31 +28,49 @@ from .models import seq2seq
 __all__ = ["predict_batch", "predict_euler", "tiles_for_fov", "make_predict_fn"]
 
 
-def _forward(params, cfg: ExperimentConfig, apply_fn, past, context):
-    """Shared decode core: raw past window → predicted xyz on the sphere."""
-    past_n, _, anchor = windows.normalize_window(past)
-    kwargs = {} if context is None else {"context": context}
+def _forward(params, cfg: ExperimentConfig, apply_fn, batch, extras_fn=None):
+    """Shared decode core: raw past windows (+family extras) → predicted
+    xyz on the sphere. ``batch`` is {"past": (B,H_in,3), ...extras}."""
+    from .train import default_extras
+
+    past_n, _, anchor = windows.normalize_window(batch["past"])
+    kwargs = (extras_fn or default_extras)(batch, anchor)
     pred_n = apply_fn(params, cfg.model, past_n, None, **kwargs)
     return windows.denormalize_window(pred_n, anchor, to_sphere=True)
 
 
-@partial(jax.jit, static_argnums=(1, 2))
-def predict_batch(params, cfg: ExperimentConfig, apply_fn, past, context=None):
-    """(B, H_in, 3) raw xyz windows → (B, H_out, 3) predicted unit vectors."""
-    return _forward(params, cfg, apply_fn, past, context)
+def _as_batch(past_or_batch, context=None):
+    if isinstance(past_or_batch, dict):
+        return past_or_batch
+    b = {"past": past_or_batch}
+    if context is not None:
+        b["context"] = context
+    return b
 
 
-@partial(jax.jit, static_argnums=(1, 2))
-def predict_euler(params, cfg: ExperimentConfig, apply_fn, past, context=None):
+@partial(jax.jit, static_argnums=(1, 2, 5))
+def predict_batch(
+    params, cfg: ExperimentConfig, apply_fn, past, context=None, extras_fn=None
+):
+    """(B, H_in, 3) raw xyz windows (or a batch dict with family extras)
+    → (B, H_out, 3) predicted unit vectors."""
+    return _forward(params, cfg, apply_fn, _as_batch(past, context), extras_fn)
+
+
+@partial(jax.jit, static_argnums=(1, 2, 5))
+def predict_euler(
+    params, cfg: ExperimentConfig, apply_fn, past, context=None, extras_fn=None
+):
     """Raw past windows → predicted (yaw, pitch) each (B, H_out), radians —
     the reference's output format for the streaming server."""
-    xyz = _forward(params, cfg, apply_fn, past, context)
+    xyz = _forward(params, cfg, apply_fn, _as_batch(past, context), extras_fn)
     return geometry.xyz_to_euler(xyz)
 
 
 def make_predict_fn(
     params, cfg: ExperimentConfig, apply_fn, *, with_tiles: bool = False,
     tile_rows: int = 6, tile_cols: int = 12, fov_deg: float = 90.0,
+    extras_fn=None,
 ) -> Callable:
     """Close over params/config → a single jitted serving function.
 
@@ -61,7 +79,9 @@ def make_predict_fn(
     """
 
     def serve(past, context=None):
-        xyz = _forward(params, cfg, apply_fn, past, context)
+        xyz = _forward(
+            params, cfg, apply_fn, _as_batch(past, context), extras_fn
+        )
         if not with_tiles:
             return xyz
         return xyz, tiles_for_fov(

@@ -1,0 +1,108 @@
+"""Cross-user conditioned seq2seq — the paper's long-horizon signal.
+
+Rebuild of `models.cross_user` (SURVEY.md §2.1; BASELINE.json:9
+"multi-viewer cross-user trajectory prediction"; arXiv:1902.01439
+§III.C): for an on-demand video, OTHER viewers have already watched it,
+so their trajectories over the target's FUTURE time-span are known at
+serve time. A shared peer-encoder LSTM consumes each peer's future
+window; the masked mean of the final hidden states becomes a per-viewer
+context vector fed to every decoder step via the seq2seq context hook.
+
+Peers are batched as (B, K, H_out, D) — encode runs as ONE scan over a
+flattened (B*K) batch (no per-peer Python loop), so K scales to however
+many prior viewers exist with constant program shape; absent peers are
+masked, and an all-masked row degrades exactly to the plain seq2seq
+model with zero context (tested).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import seq2seq
+from .cell import get_cell_fn, init_lstm
+from .seq2seq import Seq2SeqConfig
+
+__all__ = ["init", "apply", "batch_extras", "encode_peers"]
+
+
+def init(key: jax.Array, cfg: Seq2SeqConfig) -> Dict:
+    """Seq2seq params + a peer encoder with hidden size = cfg.ctx_dim."""
+    if cfg.ctx_dim <= 0:
+        raise ValueError("cross_user model needs cfg.ctx_dim > 0")
+    k1, k2 = jax.random.split(key)
+    params = seq2seq.init(k1, cfg)
+    params["peer_encoder"] = init_lstm(k2, cfg.d, cfg.ctx_dim, cfg.dtype)
+    return params
+
+
+def encode_peers(
+    params: Dict,
+    cfg: Seq2SeqConfig,
+    other_future_n: jax.Array,  # (B, K, T, D), target-anchor normalized
+    other_mask: Optional[jax.Array],  # (B, K) 1.0 = peer present
+) -> jax.Array:
+    """→ (B, ctx_dim) masked-mean peer embedding."""
+    cell_fn = get_cell_fn(cfg.cell)
+    b, k, t, d = other_future_n.shape
+    flat = other_future_n.reshape(b * k, t, d).astype(cfg.dtype)
+    xs = jnp.swapaxes(flat, 0, 1)  # (T, B*K, D)
+    z = jnp.zeros((b * k, cfg.ctx_dim), cfg.dtype)
+
+    def step(state, x):
+        return cell_fn(params["peer_encoder"], x, state), None
+
+    (h, _), _ = lax.scan(step, (z, z), xs)
+    h = h.reshape(b, k, cfg.ctx_dim)
+    if other_mask is None:
+        return jnp.mean(h, axis=1)
+    m = other_mask.astype(h.dtype)[..., None]  # (B, K, 1)
+    denom = jnp.maximum(jnp.sum(m, axis=1), 1.0)
+    return jnp.sum(h * m, axis=1) / denom
+
+
+def apply(
+    params: Dict,
+    cfg: Seq2SeqConfig,
+    past_n: jax.Array,
+    future_n: Optional[jax.Array] = None,
+    *,
+    rng: Optional[jax.Array] = None,
+    teacher_prob=1.0,
+    other_future_n: Optional[jax.Array] = None,
+    other_mask: Optional[jax.Array] = None,
+    context: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Forward pass; peers → context → seq2seq. With no peers (or all
+    masked) the context is zeros — identical to plain seq2seq."""
+    if context is None:
+        if other_future_n is not None:
+            context = encode_peers(params, cfg, other_future_n, other_mask)
+        else:
+            context = jnp.zeros((past_n.shape[0], cfg.ctx_dim), cfg.dtype)
+    return seq2seq.apply(
+        params,
+        cfg,
+        past_n,
+        future_n,
+        rng=rng,
+        teacher_prob=teacher_prob,
+        context=context,
+    )
+
+
+def batch_extras(batch: Dict, anchor: jax.Array) -> Dict:
+    """Normalize peer futures into the TARGET viewer's anchor frame so
+    target and peers share one coordinate system (the relative geometry
+    between viewers is what carries the signal)."""
+    of = batch.get("other_future")
+    if of is None:
+        return {}
+    return {
+        "other_future_n": of - anchor[:, None],  # (B,K,T,D) - (B,1,1,D)
+        "other_mask": batch.get("other_mask"),
+    }

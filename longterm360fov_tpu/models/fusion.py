@@ -1,0 +1,95 @@
+"""Video-aware fusion seq2seq (SURVEY.md §2.1 `models.fusion`;
+BASELINE.json:10 "video-aware fusion: equirect saliency/conv features +
+trajectory seq2seq").
+
+For on-demand video the frames over the prediction horizon are known in
+advance, so per-window video features (saliency/motion conv features
+from `features.equirect`, pooled over the window's future span) are a
+legitimate serve-time input. A trainable projection maps the feature
+vector into the decoder's per-step context slot (the same hook
+cross_user uses) — the decoder then biases its rollout toward salient
+regions of the sphere.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import seq2seq
+from .seq2seq import Seq2SeqConfig
+
+__all__ = ["init", "apply", "batch_extras", "FEATURE_DIM"]
+
+# default per-window video-feature width (2 × conv feat_dim of 64 is the
+# features.equirect default; data may carry any width — init sizes from
+# cfg via feature_dim argument)
+FEATURE_DIM = 128
+
+
+def init(key: jax.Array, cfg: Seq2SeqConfig, feature_dim: int = FEATURE_DIM) -> Dict:
+    """Seq2seq params + feature→context projection (2-layer MLP)."""
+    if cfg.ctx_dim <= 0:
+        raise ValueError("fusion model needs cfg.ctx_dim > 0")
+    k1, k2, k3 = jax.random.split(key, 3)
+    params = seq2seq.init(k1, cfg)
+    hid = max(cfg.ctx_dim, 64)
+    lim1 = jnp.sqrt(6.0 / (feature_dim + hid))
+    lim2 = jnp.sqrt(6.0 / (hid + cfg.ctx_dim))
+    params["feat_proj"] = {
+        "w1": jax.random.uniform(
+            k2, (feature_dim, hid), cfg.dtype, minval=-lim1, maxval=lim1
+        ),
+        "b1": jnp.zeros((hid,), cfg.dtype),
+        "w2": jax.random.uniform(
+            k3, (hid, cfg.ctx_dim), cfg.dtype, minval=-lim2, maxval=lim2
+        ),
+        "b2": jnp.zeros((cfg.ctx_dim,), cfg.dtype),
+    }
+    return params
+
+
+def project_features(params: Dict, features: jax.Array) -> jax.Array:
+    """(B, F) video features → (B, ctx_dim) context."""
+    p = params["feat_proj"]
+    h = jax.nn.relu(
+        jnp.dot(features, p["w1"], preferred_element_type=jnp.float32)
+        + p["b1"]
+    )
+    return (
+        jnp.dot(h, p["w2"], preferred_element_type=jnp.float32) + p["b2"]
+    )
+
+
+def apply(
+    params: Dict,
+    cfg: Seq2SeqConfig,
+    past_n: jax.Array,
+    future_n: Optional[jax.Array] = None,
+    *,
+    rng: Optional[jax.Array] = None,
+    teacher_prob=1.0,
+    features: Optional[jax.Array] = None,
+    context: Optional[jax.Array] = None,
+) -> jax.Array:
+    if context is None:
+        if features is not None:
+            context = project_features(params, features).astype(cfg.dtype)
+        else:
+            context = jnp.zeros((past_n.shape[0], cfg.ctx_dim), cfg.dtype)
+    return seq2seq.apply(
+        params,
+        cfg,
+        past_n,
+        future_n,
+        rng=rng,
+        teacher_prob=teacher_prob,
+        context=context,
+    )
+
+
+def batch_extras(batch: Dict, anchor) -> Dict:
+    f = batch.get("features")
+    return {} if f is None else {"features": f}

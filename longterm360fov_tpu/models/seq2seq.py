@@ -214,3 +214,33 @@ def decode(
 ) -> jax.Array:
     """Pure autoregressive decode (inference path, SURVEY.md §3.3)."""
     return apply(params, cfg, past_n, None, context=context)
+
+
+def decode_fused(
+    params: Params,
+    cfg: Seq2SeqConfig,
+    past_n: jax.Array,
+    *,
+    context: Optional[jax.Array] = None,
+    tile_b: int = 256,
+) -> jax.Array:
+    """Autoregressive decode with the whole-horizon fused Pallas decoder
+    (ops.fused_lstm.fused_decode): weights/state stay VMEM-resident for
+    all H_out steps. Numerics match :func:`decode` (parity-tested)."""
+    from ..ops.fused_lstm import fused_decode
+
+    states = _encode(params, cfg, past_n)
+    h0 = jnp.stack([s[0] for s in states]).astype(jnp.float32)
+    c0 = jnp.stack([s[1] for s in states]).astype(jnp.float32)
+    y0 = past_n[:, -1, :].astype(jnp.float32)
+    return fused_decode(
+        params["decoder"],
+        params["proj"]["w"],
+        params["proj"]["b"],
+        h0,
+        c0,
+        y0,
+        cfg.h_out,
+        context=context,
+        tile_b=min(tile_b, past_n.shape[0]),
+    )

@@ -1,0 +1,273 @@
+"""Fused LSTM Pallas kernels (SURVEY.md §2.1 `kernels.fused_lstm`).
+
+Two tiers:
+
+1. ``fused_lstm_cell`` — drop-in replacement for ``models.cell.lstm_cell``
+   (same signature/pytree): one step, gates matmul on the MXU + gate
+   nonlinearities on the VPU fused in one kernel. Parity-tested against
+   the XLA cell at fp32 tolerance 1e-5 (SURVEY.md §4 "Kernel parity").
+
+2. ``fused_decode`` — the serving hot loop (SURVEY.md §3.3): the ENTIRE
+   autoregressive decoder — L stacked LSTM layers + output projection +
+   feedback, all H_out steps — in ONE pallas_call. Weights, hidden
+   state, cell state, and the fed-back output live in VMEM for the
+   whole horizon; HBM sees only the initial states in and the
+   trajectory out. An XLA `lax.scan` decoder instead round-trips
+   h/c through HBM and refetches every weight matrix each step — at
+   decode sizes (tiny per-step FLOPs) that bandwidth is the whole cost,
+   which is why this kernel exists.
+
+Batch is tiled over a parallel grid axis; time runs in a
+`lax.fori_loop` inside the kernel. All shapes static; hidden size
+should be a multiple of 128 (lane width) for full MXU tiles.
+
+Kernels run in interpret mode automatically off-TPU so the CPU test
+mesh exercises identical code paths.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.cell import LSTMParams
+
+__all__ = ["fused_lstm_cell", "fused_decode"]
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+# ---------------------------------------------------------------------------
+# Tier 1: single-step fused cell
+# ---------------------------------------------------------------------------
+
+
+def _cell_kernel(x_ref, h_ref, c_ref, w_ref, b_ref, h_out_ref, c_out_ref, *, d_in, hidden):
+    x = x_ref[:]
+    h = h_ref[:]
+    # split the fused matmul instead of materializing concat([x, h]):
+    # same FLOPs, no copy.
+    gates = (
+        jnp.dot(x, w_ref[:d_in, :], preferred_element_type=jnp.float32)
+        + jnp.dot(h, w_ref[d_in:, :], preferred_element_type=jnp.float32)
+        + b_ref[:]
+    )
+    i = jax.nn.sigmoid(gates[:, :hidden])
+    f = jax.nn.sigmoid(gates[:, hidden : 2 * hidden])
+    g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
+    o = jax.nn.sigmoid(gates[:, 3 * hidden :])
+    c_new = f * c_ref[:] + i * g
+    h_new = o * jnp.tanh(c_new)
+    h_out_ref[:] = h_new.astype(h_out_ref.dtype)
+    c_out_ref[:] = c_new.astype(c_out_ref.dtype)
+
+
+def fused_lstm_cell(
+    params: LSTMParams, x: jax.Array, state: Tuple[jax.Array, jax.Array]
+) -> Tuple[jax.Array, jax.Array]:
+    """Drop-in for models.cell.lstm_cell — one fused Pallas step."""
+    h, c = state
+    batch, hidden = h.shape
+    d_in = x.shape[-1]
+    kernel = functools.partial(_cell_kernel, d_in=d_in, hidden=hidden)
+    h_new, c_new = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, hidden), h.dtype),
+            jax.ShapeDtypeStruct((batch, hidden), c.dtype),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # h
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # c
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        interpret=_interpret(),
+    )(x, h, c, params.w, params.b.reshape(1, -1))
+    return h_new, c_new
+
+
+# ---------------------------------------------------------------------------
+# Tier 2: whole-horizon fused autoregressive decoder
+# ---------------------------------------------------------------------------
+
+
+def _decode_kernel(
+    *refs,
+    n_layers: int,
+    t_out: int,
+    hidden: int,
+    d: int,
+    ctx_dim: int,
+    tile_b: int,
+):
+    """refs layout:
+    inputs:  h0 (L, B, H), c0 (L, B, H), y0 (B, D), [ctx (B, C)],
+             w_l ((D[+C] or H)+H, 4H) × L, b_l (1, 4H) × L,
+             proj_w (H, D), proj_b (1, D)
+    outputs: ys (T, B, D)
+    scratch: h (L, B, H), c (L, B, H), y (B, D[+C])
+    """
+    it = iter(refs)
+    h0_ref = next(it)
+    c0_ref = next(it)
+    y0_ref = next(it)
+    ctx_ref = next(it) if ctx_dim else None
+    w_refs = [next(it) for _ in range(n_layers)]
+    b_refs = [next(it) for _ in range(n_layers)]
+    pw_ref = next(it)
+    pb_ref = next(it)
+    ys_ref = next(it)
+    h_s = next(it)
+    c_s = next(it)
+    y_s = next(it)
+
+    h_s[:] = h0_ref[:]
+    c_s[:] = c0_ref[:]
+    y_s[:, :d] = y0_ref[:]
+    if ctx_dim:
+        y_s[:, d:] = ctx_ref[:]
+
+    d_in0 = d + ctx_dim
+
+    def step(t, _):
+        inp = y_s[:]  # (B, D+C) — feedback (+static context)
+        d_in = d_in0
+        for l in range(n_layers):
+            w = w_refs[l]
+            gates = (
+                jnp.dot(inp, w[:d_in, :], preferred_element_type=jnp.float32)
+                + jnp.dot(
+                    h_s[l], w[d_in:, :], preferred_element_type=jnp.float32
+                )
+                + b_refs[l][:]
+            )
+            i = jax.nn.sigmoid(gates[:, :hidden])
+            f = jax.nn.sigmoid(gates[:, hidden : 2 * hidden])
+            g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
+            o = jax.nn.sigmoid(gates[:, 3 * hidden :])
+            c_new = f * c_s[l] + i * g
+            h_new = o * jnp.tanh(c_new)
+            c_s[l] = c_new
+            h_s[l] = h_new
+            inp = h_new
+            d_in = hidden
+        y = (
+            jnp.dot(inp, pw_ref[:], preferred_element_type=jnp.float32)
+            + pb_ref[:]
+        )
+        ys_ref[pl.ds(t, 1)] = y[None].astype(ys_ref.dtype)
+        y_s[:, :d] = y.astype(y_s.dtype)
+        return 0
+
+    lax.fori_loop(0, t_out, step, 0)
+
+
+def fused_decode(
+    dec_params: Sequence[LSTMParams],
+    proj_w: jax.Array,
+    proj_b: jax.Array,
+    h0: jax.Array,  # (L, B, H) encoder final hidden per layer
+    c0: jax.Array,  # (L, B, H)
+    y0: jax.Array,  # (B, D) last observed position
+    t_out: int,
+    *,
+    context: Optional[jax.Array] = None,  # (B, C)
+    tile_b: int = 256,
+) -> jax.Array:
+    """Whole-horizon fused decode → (B, t_out, D).
+
+    Semantics identical to models.seq2seq.decode's decoder loop (parity
+    test in tests/test_fused_lstm.py); batch is tiled over a parallel
+    grid so arbitrary viewer counts stream through one VMEM-resident
+    program.
+    """
+    n_layers, batch, hidden = h0.shape
+    d = y0.shape[-1]
+    ctx_dim = 0 if context is None else context.shape[-1]
+    tile_b = min(tile_b, batch)
+    if batch % tile_b:
+        raise ValueError(f"batch {batch} not divisible by tile_b {tile_b}")
+    grid = (batch // tile_b,)
+
+    kernel = functools.partial(
+        _decode_kernel,
+        n_layers=n_layers,
+        t_out=t_out,
+        hidden=hidden,
+        d=d,
+        ctx_dim=ctx_dim,
+        tile_b=tile_b,
+    )
+
+    state_spec = pl.BlockSpec(
+        (n_layers, tile_b, hidden),
+        lambda i: (0, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    vec_spec = lambda width: pl.BlockSpec(  # noqa: E731
+        (tile_b, width), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    full = lambda: pl.BlockSpec(lambda i: (0, 0), memory_space=pltpu.VMEM)  # noqa: E731
+
+    in_specs = [state_spec, state_spec, vec_spec(d)]
+    inputs = [h0, c0, y0]
+    if ctx_dim:
+        in_specs.append(vec_spec(ctx_dim))
+        inputs.append(context)
+    for p in dec_params:
+        in_specs.append(
+            pl.BlockSpec(
+                p.w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            )
+        )
+        inputs.append(p.w)
+    for p in dec_params:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, p.b.shape[0]), lambda i: (0, 0), memory_space=pltpu.VMEM
+            )
+        )
+        inputs.append(p.b.reshape(1, -1))
+    in_specs.append(
+        pl.BlockSpec(proj_w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    )
+    inputs.append(proj_w)
+    in_specs.append(
+        pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    )
+    inputs.append(proj_b.reshape(1, -1))
+
+    ys = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((t_out, batch, d), jnp.float32),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (t_out, tile_b, d), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n_layers, tile_b, hidden), jnp.float32),  # h
+            pltpu.VMEM((n_layers, tile_b, hidden), jnp.float32),  # c
+            pltpu.VMEM((tile_b, d + ctx_dim), jnp.float32),  # y feedback
+        ],
+        interpret=_interpret(),
+    )(*inputs)
+    return jnp.swapaxes(ys, 0, 1)  # (B, T, D)

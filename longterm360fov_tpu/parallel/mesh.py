@@ -61,6 +61,7 @@ def make_sharded_train_step(
     apply_fn: Callable,
     optimizer: optax.GradientTransformation,
     mesh: Mesh,
+    extras_fn: Optional[Callable] = None,
 ) -> Callable:
     """DP train step: per-shard fwd/bwd + pmean(grads) over 'data'.
 
@@ -70,7 +71,9 @@ def make_sharded_train_step(
     which is what makes the grads-match-single-device test meaningful
     (SURVEY.md §4 "Distributed without a cluster").
     """
-    inner = make_train_step(cfg, apply_fn, optimizer, axis_name="data")
+    inner = make_train_step(
+        cfg, apply_fn, optimizer, axis_name="data", extras_fn=extras_fn
+    )
 
     state_spec = P()  # replicated
     batch_spec = P("data")  # shard leading (viewer) axis
@@ -102,6 +105,7 @@ def train_loop_dp(
     checkpoint_dir: Optional[str] = None,
     state: Optional[TrainState] = None,
     mesh: Optional[Mesh] = None,
+    extras_fn: Optional[Callable] = None,
 ):
     """Data-parallel twin of train.train_loop: same loop, sharded step.
 
@@ -122,7 +126,9 @@ def train_loop_dp(
     cfg = cfg.replace(batch_size=bs)
 
     optimizer = train_mod.make_optimizer(cfg)
-    step_fn = make_sharded_train_step(cfg, apply_fn, optimizer, mesh)
+    step_fn = make_sharded_train_step(
+        cfg, apply_fn, optimizer, mesh, extras_fn=extras_fn
+    )
     if state is None:
         state = train_mod.init_state(cfg, init_fn, optimizer)
     state = replicate_state(mesh, state)
@@ -152,7 +158,10 @@ def train_loop_dp(
             if eval_data is not None:
                 from .. import evaluate as ev
 
-                eres = ev.evaluate(state.params, cfg, apply_fn, eval_data)
+                eres = ev.evaluate(
+                    state.params, cfg, apply_fn, eval_data,
+                    extras_fn=extras_fn,
+                )
                 m["eval_great_circle_deg"] = eres["mean_deg"]
             history.append(m)
             if log_fh:

@@ -54,12 +54,22 @@ def teacher_prob_at(cfg: ExperimentConfig, step) -> jax.Array:
     return cfg.ss_start + (cfg.ss_end - cfg.ss_start) * frac
 
 
+def default_extras(batch: Dict, anchor) -> Dict:
+    """Model-family batch hook: extra apply() kwargs derived from the raw
+    batch + the normalization anchor. Families override via their
+    ``batch_extras`` (e.g. cross_user re-anchors peer futures)."""
+    if batch.get("context") is not None:
+        return {"context": batch["context"]}
+    return {}
+
+
 def make_train_step(
     cfg: ExperimentConfig,
     apply_fn: Callable,
     optimizer: optax.GradientTransformation,
     *,
     axis_name: Optional[str] = None,
+    extras_fn: Optional[Callable] = None,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -75,13 +85,13 @@ def make_train_step(
     separate HBM pass (SURVEY.md §1 L2).
     """
 
+    extras = extras_fn or default_extras
+
     def loss_fn(params, batch, rng, teacher_prob):
         past_n, future_n, anchor = windows.normalize_window(
             batch["past"], batch["future"]
         )
-        kwargs = {}
-        if batch.get("context") is not None:
-            kwargs["context"] = batch["context"]
+        kwargs = extras(batch, anchor)
         pred_n = apply_fn(
             params,
             cfg.model,
@@ -173,6 +183,7 @@ def train_loop(
     log_file: Optional[str] = None,
     checkpoint_dir: Optional[str] = None,
     state: Optional[TrainState] = None,
+    extras_fn: Optional[Callable] = None,
 ) -> Tuple[TrainState, list]:
     """Single-device training loop (the DP loop lives in parallel.mesh).
 
@@ -180,7 +191,7 @@ def train_loop(
     restored ``state`` to continue from its step counter.
     """
     optimizer = make_optimizer(cfg)
-    step_fn = make_train_step(cfg, apply_fn, optimizer)
+    step_fn = make_train_step(cfg, apply_fn, optimizer, extras_fn=extras_fn)
     if state is None:
         state = init_state(cfg, init_fn, optimizer)
     it = batch_iterator(
@@ -213,7 +224,8 @@ def train_loop(
                 from . import evaluate as ev
 
                 eres = ev.evaluate(
-                    state.params, cfg, apply_fn, eval_data
+                    state.params, cfg, apply_fn, eval_data,
+                    extras_fn=extras_fn,
                 )
                 m["eval_great_circle_deg"] = eres["mean_deg"]
             history.append(m)

@@ -1,0 +1,91 @@
+"""Cross-user model semantics + end-to-end (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from longterm360fov_tpu import data as D
+from longterm360fov_tpu import evaluate as E
+from longterm360fov_tpu import traces, train
+from longterm360fov_tpu.config import ExperimentConfig
+from longterm360fov_tpu.models import cross_user as CU
+from longterm360fov_tpu.models import seq2seq as S
+
+
+def _cfg(**kw):
+    base = dict(d=3, hidden=32, layers=1, h_in=5, h_out=4, ctx_dim=16)
+    base.update(kw)
+    return S.Seq2SeqConfig(**base)
+
+
+def test_all_masked_peers_equals_zero_context():
+    """Cross-user branch with zeroed context == plain seq2seq path."""
+    cfg = _cfg()
+    params = CU.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    past = jnp.asarray(rng.normal(size=(6, 5, 3)).astype(np.float32))
+    fut = jnp.asarray(rng.normal(size=(6, 4, 3)).astype(np.float32))
+    others = jnp.asarray(rng.normal(size=(6, 3, 4, 3)).astype(np.float32))
+    mask0 = jnp.zeros((6, 3))
+
+    out_masked = CU.apply(
+        params, cfg, past, fut, other_future_n=others, other_mask=mask0
+    )
+    out_zero_ctx = S.apply(
+        params, cfg, past, fut, context=jnp.zeros((6, cfg.ctx_dim))
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_masked), np.asarray(out_zero_ctx), atol=1e-6
+    )
+
+
+def test_peer_context_changes_output():
+    cfg = _cfg()
+    params = CU.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    past = jnp.asarray(rng.normal(size=(6, 5, 3)).astype(np.float32))
+    others = jnp.asarray(rng.normal(size=(6, 3, 4, 3)).astype(np.float32))
+    mask1 = jnp.ones((6, 3))
+    y_with = CU.apply(params, cfg, past, other_future_n=others, other_mask=mask1)
+    y_wo = CU.apply(
+        params, cfg, past, other_future_n=others, other_mask=jnp.zeros((6, 3))
+    )
+    assert not np.allclose(np.asarray(y_with), np.asarray(y_wo))
+
+
+def test_mask_ignores_absent_peers():
+    cfg = _cfg()
+    params = CU.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(2)
+    others = jnp.asarray(rng.normal(size=(2, 3, 4, 3)).astype(np.float32))
+    # garbage in masked slots must not affect the embedding
+    others_garbage = others.at[:, 2].set(1e6)
+    mask = jnp.asarray([[1.0, 1.0, 0.0], [1.0, 0.0, 0.0]])
+    e1 = CU.encode_peers(params, cfg, others, mask)
+    e2 = CU.encode_peers(params, cfg, others_garbage, mask)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-6)
+
+
+def test_cross_user_trains_and_beats_no_context():
+    """On correlated synthetic viewers, peers' futures must help."""
+    store = traces.synthetic_store(n_users=5, n_videos=1, n_frames=500, seed=3)
+    model = _cfg(hidden=64, h_in=10, h_out=10, ctx_dim=32)
+    cfg = ExperimentConfig(
+        name="cu-test", model=model, model_family="cross_user",
+        batch_size=64, lr=3e-3, steps=150, eval_every=150,
+        n_other_users=3,
+    )
+    tr, te = D.windows_from_store(
+        store, 10, 10, train_frac=0.8, n_other_users=3
+    )
+    assert "other_future" in tr and tr["other_future"].shape[1] == 3
+
+    state, hist = train.train_loop(
+        cfg, CU.init, CU.apply, tr, extras_fn=CU.batch_extras
+    )
+    res = E.evaluate(
+        state.params, cfg, CU.apply, te, extras_fn=CU.batch_extras
+    )
+    assert np.isfinite(res["mean_deg"])
+    assert hist[-1]["loss"] < 0.1, hist

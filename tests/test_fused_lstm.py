@@ -1,0 +1,70 @@
+"""Pallas kernel parity vs the XLA reference cell (SURVEY.md §4
+"Kernel parity"); runs in interpret mode on the CPU test mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from longterm360fov_tpu.models import seq2seq as S
+from longterm360fov_tpu.models.cell import init_lstm, lstm_cell
+from longterm360fov_tpu.ops.fused_lstm import fused_decode, fused_lstm_cell
+
+
+def test_fused_cell_parity():
+    b, d, h = 16, 3, 128
+    params = init_lstm(jax.random.PRNGKey(0), d, h)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    state = (
+        jnp.asarray(rng.normal(size=(b, h)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(b, h)).astype(np.float32)),
+    )
+    h_ref, c_ref = lstm_cell(params, x, state)
+    h_pal, c_pal = fused_lstm_cell(params, x, state)
+    np.testing.assert_allclose(np.asarray(h_pal), np.asarray(h_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c_pal), np.asarray(c_ref), atol=1e-5)
+
+
+def test_fused_cell_hidden_input():
+    # layer >0 shape: input dim == hidden
+    b, h = 8, 128
+    params = init_lstm(jax.random.PRNGKey(1), h, h)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(b, h)).astype(np.float32))
+    state = (jnp.zeros((b, h)), jnp.zeros((b, h)))
+    h_ref, c_ref = lstm_cell(params, x, state)
+    h_pal, c_pal = fused_lstm_cell(params, x, state)
+    np.testing.assert_allclose(np.asarray(h_pal), np.asarray(h_ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("layers,ctx_dim", [(1, 0), (2, 0), (2, 8)])
+def test_fused_decode_parity(layers, ctx_dim):
+    cfg = S.Seq2SeqConfig(
+        d=3, hidden=128, layers=layers, h_in=6, h_out=9, ctx_dim=ctx_dim
+    )
+    params = S.init(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(2)
+    past_n = jnp.asarray(rng.normal(size=(8, 6, 3)).astype(np.float32) * 0.1)
+    ctx = (
+        jnp.asarray(rng.normal(size=(8, ctx_dim)).astype(np.float32))
+        if ctx_dim
+        else None
+    )
+    ref = S.decode(params, cfg, past_n, context=ctx)
+    fused = S.decode_fused(params, cfg, past_n, context=ctx)
+    assert fused.shape == ref.shape
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(ref), atol=2e-5,
+        err_msg="fused Pallas decoder must match XLA scan decoder",
+    )
+
+
+def test_fused_decode_batch_tiling():
+    cfg = S.Seq2SeqConfig(d=3, hidden=128, layers=1, h_in=4, h_out=5)
+    params = S.init(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(3)
+    past_n = jnp.asarray(rng.normal(size=(16, 4, 3)).astype(np.float32) * 0.1)
+    ref = S.decode(params, cfg, past_n)
+    fused = S.decode_fused(params, cfg, past_n, tile_b=4)  # 4 grid tiles
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-5)
