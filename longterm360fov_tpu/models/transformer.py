@@ -1,0 +1,360 @@
+"""Transformer seq2seq with cross-viewer attention (stretch config,
+BASELINE.json:11: "Transformer seq2seq, 10-second horizon with
+cross-viewer attention"; SURVEY.md §2.1 `models.transformer` — flagged
+new by the driver, no reference counterpart).
+
+TPU-first design:
+
+* Training is ONE parallel pass: causal self-attention over the
+  teacher-forced target tokens + cross-attention to the encoded past +
+  (optional) cross-viewer attention over other viewers' future
+  trajectories. All attention is dense batched matmul — pure MXU work
+  at (B, T≤100, H=128) scale; blockwise/ring attention is documented as
+  the escalation path if horizons ever outgrow VMEM-friendly tiles
+  (SURVEY.md §2.2 SP row).
+* Inference is a `lax.scan` with a static-shape KV cache per decoder
+  layer: encoder and peer K/V are computed ONCE outside the scan; each
+  step projects one token, appends its K/V via dynamic-update-slice,
+  and masks future positions with an iota comparison. No Python loop,
+  no growing shapes, no per-step host sync.
+* Cross-viewer attention replaces the LSTM family's pooled context
+  vector with token-level attention over each peer's trajectory — the
+  decoder can look at WHERE other viewers were at a specific future
+  time, not just a summary. Fully-masked peer rows gate to zero (exact
+  no-peer equivalence, tested).
+
+Uniform family API: init/apply/batch_extras like the LSTM families.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .seq2seq import Seq2SeqConfig
+
+__all__ = ["init", "apply", "batch_extras"]
+
+N_HEADS = 4
+MLP_MULT = 4
+
+
+def _uniform(key, shape, dtype, fan_in, fan_out):
+    limit = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, minval=-limit, maxval=limit)
+
+
+def _init_attn(key, h, dtype):
+    ks = jax.random.split(key, 4)
+    return {
+        "wq": _uniform(ks[0], (h, h), dtype, h, h),
+        "wk": _uniform(ks[1], (h, h), dtype, h, h),
+        "wv": _uniform(ks[2], (h, h), dtype, h, h),
+        "wo": _uniform(ks[3], (h, h), dtype, h, h),
+    }
+
+
+def _init_mlp(key, h, dtype):
+    k1, k2 = jax.random.split(key)
+    return {
+        "w1": _uniform(k1, (h, MLP_MULT * h), dtype, h, MLP_MULT * h),
+        "b1": jnp.zeros((MLP_MULT * h,), dtype),
+        "w2": _uniform(k2, (MLP_MULT * h, h), dtype, MLP_MULT * h, h),
+        "b2": jnp.zeros((h,), dtype),
+    }
+
+
+def _init_ln(h, dtype):
+    return {"scale": jnp.ones((h,), dtype), "bias": jnp.zeros((h,), dtype)}
+
+
+def init(key: jax.Array, cfg: Seq2SeqConfig) -> Dict:
+    h, dt = cfg.hidden, cfg.dtype
+    n_keys = 4 + cfg.layers * 8
+    ks = iter(jax.random.split(key, n_keys))
+    params: Dict = {
+        "in_proj": _uniform(next(ks), (cfg.d, h), dt, cfg.d, h),
+        "out_proj": {
+            "w": _uniform(next(ks), (h, cfg.d), dt, h, cfg.d),
+            "b": jnp.zeros((cfg.d,), dt),
+        },
+        "final_ln": _init_ln(h, dt),
+        "enc": [],
+        "dec": [],
+    }
+    for _ in range(cfg.layers):
+        params["enc"].append(
+            {
+                "ln1": _init_ln(h, dt),
+                "attn": _init_attn(next(ks), h, dt),
+                "ln2": _init_ln(h, dt),
+                "mlp": _init_mlp(next(ks), h, dt),
+            }
+        )
+    for _ in range(cfg.layers):
+        params["dec"].append(
+            {
+                "ln1": _init_ln(h, dt),
+                "self_attn": _init_attn(next(ks), h, dt),
+                "ln2": _init_ln(h, dt),
+                "cross_attn": _init_attn(next(ks), h, dt),
+                "ln3": _init_ln(h, dt),
+                "peer_attn": _init_attn(next(ks), h, dt),
+                "ln4": _init_ln(h, dt),
+                "mlp": _init_mlp(next(ks), h, dt),
+            }
+        )
+    return params
+
+
+def _ln(p, x):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * lax.rsqrt(var + 1e-6) * p["scale"] + p["bias"]
+
+
+def _split_heads(x):
+    b, t, h = x.shape
+    return x.reshape(b, t, N_HEADS, h // N_HEADS).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    b, n, t, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, n * d)
+
+
+def _attention(p, q_in, kv_in, *, mask=None):
+    """Multi-head attention. q_in (B,Tq,H), kv_in (B,Tk,H);
+    mask (B,Tq,Tk) or (1,Tq,Tk) additive-validity bool (True=attend)."""
+    q = _split_heads(jnp.dot(q_in, p["wq"], preferred_element_type=jnp.float32))
+    k = _split_heads(jnp.dot(kv_in, p["wk"], preferred_element_type=jnp.float32))
+    v = _split_heads(jnp.dot(kv_in, p["wv"], preferred_element_type=jnp.float32))
+    return _attention_qkv(p, q, k, v, mask=mask)
+
+
+def _attention_qkv(p, q, k, v, *, mask=None):
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum("bnqd,bnkd->bnqk", q, k) * scale
+    if mask is not None:
+        logits = jnp.where(mask[:, None, :, :], logits, -1e9)
+    w = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bnqk,bnkd->bnqd", w, v)
+    return jnp.dot(
+        _merge_heads(out), p["wo"], preferred_element_type=jnp.float32
+    )
+
+
+def _pos_enc(t: int, h: int, offset: int = 0):
+    pos = jnp.arange(offset, offset + t, dtype=jnp.float32)[:, None]
+    dim = jnp.arange(h // 2, dtype=jnp.float32)[None, :]
+    freq = jnp.exp(-math.log(10000.0) * 2.0 * dim / h)
+    ang = pos * freq
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)  # (t, h)
+
+
+def _mlp(p, x):
+    h = jax.nn.gelu(
+        jnp.dot(x, p["w1"], preferred_element_type=jnp.float32) + p["b1"]
+    )
+    return jnp.dot(h, p["w2"], preferred_element_type=jnp.float32) + p["b2"]
+
+
+def _encode(params, cfg, past_n):
+    x = (
+        jnp.dot(past_n.astype(cfg.dtype), params["in_proj"])
+        + _pos_enc(past_n.shape[1], cfg.hidden)
+    )
+    for layer in params["enc"]:
+        x = x + _attention(layer["attn"], _ln(layer["ln1"], x), _ln(layer["ln1"], x))
+        x = x + _mlp(layer["mlp"], _ln(layer["ln2"], x))
+    return x
+
+
+def _peer_tokens(params, cfg, other_future_n, other_mask):
+    """(B,K,T,D) peers → (B, K*T, H) memory tokens + (B, K*T) validity."""
+    b, k, t, d = other_future_n.shape
+    x = (
+        jnp.dot(other_future_n.astype(cfg.dtype), params["in_proj"])
+        + _pos_enc(t, cfg.hidden)[None, None]
+    )
+    tokens = x.reshape(b, k * t, cfg.hidden)
+    if other_mask is None:
+        valid = jnp.ones((b, k * t), bool)
+    else:
+        valid = jnp.repeat(other_mask.astype(bool), t, axis=1)
+    return tokens, valid
+
+
+def _decoder_block(layer, x, enc_mem, peer_mem, peer_valid, *, causal_mask,
+                   self_kv=None):
+    """One decoder layer on (B,Tq,H). With self_kv=(k,v) the
+    self-attention keys/values come from the cache (decode path)."""
+    h_in = _ln(layer["ln1"], x)
+    if self_kv is None:
+        x = x + _attention(
+            layer["self_attn"], h_in, h_in, mask=causal_mask
+        )
+    else:
+        k, v = self_kv
+        q = _split_heads(
+            jnp.dot(h_in, layer["self_attn"]["wq"],
+                    preferred_element_type=jnp.float32)
+        )
+        x = x + _attention_qkv(
+            layer["self_attn"], q, k, v, mask=causal_mask
+        )
+    x = x + _attention(
+        layer["cross_attn"], _ln(layer["ln2"], x), enc_mem
+    )
+    if peer_mem is not None:
+        pa = _attention(
+            layer["peer_attn"], _ln(layer["ln3"], x), peer_mem,
+            mask=peer_valid[:, None, :],
+        )
+        # rows with zero valid peers gate to exactly 0 (otherwise the
+        # -1e9-everywhere softmax attends uniformly to garbage)
+        has_peer = jnp.any(peer_valid, axis=-1)[:, None, None]
+        x = x + jnp.where(has_peer, pa, 0.0)
+    x = x + _mlp(layer["mlp"], _ln(layer["ln4"], x))
+    return x
+
+
+def apply(
+    params: Dict,
+    cfg: Seq2SeqConfig,
+    past_n: jax.Array,
+    future_n: Optional[jax.Array] = None,
+    *,
+    rng: Optional[jax.Array] = None,
+    teacher_prob=1.0,
+    other_future_n: Optional[jax.Array] = None,
+    other_mask: Optional[jax.Array] = None,
+    context: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Teacher-forced parallel pass (future_n given) or KV-cached
+    autoregressive decode (future_n None). ``rng``/``teacher_prob`` are
+    accepted for API uniformity; the transformer trains with teacher
+    forcing (scheduled sampling is an RNN curriculum trick — the causal
+    parallel pass is what makes transformer training fast)."""
+    del rng, teacher_prob, context
+    enc_mem = _encode(params, cfg, past_n)
+    peer_mem = peer_valid = None
+    if other_future_n is not None:
+        peer_mem, peer_valid = _peer_tokens(
+            params, cfg, other_future_n, other_mask
+        )
+
+    y0 = past_n[:, -1, :].astype(cfg.dtype)
+    if future_n is not None:
+        return _parallel_decode(
+            params, cfg, enc_mem, peer_mem, peer_valid, y0, future_n
+        )
+    return _ar_decode(params, cfg, enc_mem, peer_mem, peer_valid, y0)
+
+
+def _parallel_decode(params, cfg, enc_mem, peer_mem, peer_valid, y0, future_n):
+    t = future_n.shape[1]
+    tokens_in = jnp.concatenate(
+        [y0[:, None], future_n[:, :-1].astype(cfg.dtype)], axis=1
+    )  # teacher inputs: true position at t-1
+    x = jnp.dot(tokens_in, params["in_proj"]) + _pos_enc(t, cfg.hidden)
+    causal = jnp.tril(jnp.ones((t, t), bool))[None]
+    for layer in params["dec"]:
+        x = _decoder_block(
+            layer, x, enc_mem, peer_mem, peer_valid, causal_mask=causal
+        )
+    x = _ln(params["final_ln"], x)
+    return (
+        jnp.dot(x, params["out_proj"]["w"], preferred_element_type=jnp.float32)
+        + params["out_proj"]["b"]
+    ).astype(jnp.float32)
+
+
+def _ar_decode(params, cfg, enc_mem, peer_mem, peer_valid, y0):
+    """KV-cached scan: encoder/peer K,V precomputed once; per step one
+    token flows through the decoder stack."""
+    t_out = cfg.h_out
+    b = y0.shape[0]
+    h = cfg.hidden
+    head = h // N_HEADS
+
+    # Per-layer static K/V of encoder (and peer) memory — outside the scan.
+    cross_kv = []
+    for layer in params["dec"]:
+        ck = _split_heads(jnp.dot(enc_mem, layer["cross_attn"]["wk"],
+                                  preferred_element_type=jnp.float32))
+        cv = _split_heads(jnp.dot(enc_mem, layer["cross_attn"]["wv"],
+                                  preferred_element_type=jnp.float32))
+        if peer_mem is not None:
+            pk = _split_heads(jnp.dot(peer_mem, layer["peer_attn"]["wk"],
+                                      preferred_element_type=jnp.float32))
+            pv = _split_heads(jnp.dot(peer_mem, layer["peer_attn"]["wv"],
+                                      preferred_element_type=jnp.float32))
+        else:
+            pk = pv = None
+        cross_kv.append((ck, cv, pk, pv))
+
+    pos_all = _pos_enc(t_out, h)  # (T, H)
+
+    cache0 = [
+        (
+            jnp.zeros((b, N_HEADS, t_out, head), jnp.float32),
+            jnp.zeros((b, N_HEADS, t_out, head), jnp.float32),
+        )
+        for _ in params["dec"]
+    ]
+
+    def step(carry, t):
+        caches, y_prev = carry
+        x = (
+            jnp.dot(y_prev, params["in_proj"]) + pos_all[t]
+        )[:, None, :]  # (B, 1, H)
+        new_caches = []
+        valid = (jnp.arange(t_out) <= t)[None, None, :]  # (1, 1, T)
+        for li, layer in enumerate(params["dec"]):
+            ck, cv, pk, pv = cross_kv[li]
+            k_cache, v_cache = caches[li]
+            h_in = _ln(layer["ln1"], x)
+            k_new = _split_heads(
+                jnp.dot(h_in, layer["self_attn"]["wk"],
+                        preferred_element_type=jnp.float32)
+            )  # (B, N, 1, d)
+            v_new = _split_heads(
+                jnp.dot(h_in, layer["self_attn"]["wv"],
+                        preferred_element_type=jnp.float32)
+            )
+            k_cache = lax.dynamic_update_slice(
+                k_cache, k_new, (0, 0, t, 0)
+            )
+            v_cache = lax.dynamic_update_slice(
+                v_cache, v_new, (0, 0, t, 0)
+            )
+            new_caches.append((k_cache, v_cache))
+            x = _decoder_block(
+                layer, x, enc_mem, peer_mem, peer_valid,
+                causal_mask=valid, self_kv=(k_cache, v_cache),
+            )
+        x = _ln(params["final_ln"], x)
+        y = (
+            jnp.dot(x[:, 0], params["out_proj"]["w"],
+                    preferred_element_type=jnp.float32)
+            + params["out_proj"]["b"]
+        ).astype(cfg.dtype)
+        return (new_caches, y), y
+
+    (_, _), ys = lax.scan(step, (cache0, y0), jnp.arange(t_out))
+    return jnp.swapaxes(ys, 0, 1).astype(jnp.float32)
+
+
+def batch_extras(batch: Dict, anchor) -> Dict:
+    of = batch.get("other_future")
+    if of is None:
+        return {}
+    return {
+        "other_future_n": of - anchor[:, None],
+        "other_mask": batch.get("other_mask"),
+    }
