@@ -173,7 +173,12 @@ def _decode_kernel(
             jnp.dot(inp, pw_ref[:], preferred_element_type=jnp.float32)
             + pb_ref[:]
         )
-        ys_ref[pl.ds(t, 1)] = y[None].astype(ys_ref.dtype)
+        # output layout is (D, T, B): lane axis = batch tile (a multiple
+        # of 128) so the VMEM block carries ZERO lane padding — a
+        # (T, B, D) layout would pad D=3 → 128 lanes and blow the block
+        # up 43x (≈8 MB per buffer at tile_b=512), stalling the
+        # pipeline and the Mosaic compiler both.
+        ys_ref[:, pl.ds(t, 1), :] = y.T[:, None, :].astype(ys_ref.dtype)
         y_s[:, :d] = y.astype(y_s.dtype)
         return 0
 
@@ -258,10 +263,10 @@ def fused_decode(
     ys = pl.pallas_call(
         kernel,
         grid=grid,
-        out_shape=jax.ShapeDtypeStruct((t_out, batch, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((d, t_out, batch), jnp.float32),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (t_out, tile_b, d), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            (d, t_out, tile_b), lambda i: (0, 0, i), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((n_layers, tile_b, hidden), jnp.float32),  # h
@@ -270,4 +275,4 @@ def fused_decode(
         ],
         interpret=_interpret(),
     )(*inputs)
-    return jnp.swapaxes(ys, 0, 1)  # (B, T, D)
+    return jnp.transpose(ys, (2, 1, 0))  # (B, T, D)

@@ -1,7 +1,8 @@
-from . import mesh  # noqa: F401
+from . import mesh, tp  # noqa: F401
 from .mesh import (  # noqa: F401
     make_mesh,
     make_sharded_train_step,
     shard_batch,
     train_loop_dp,
 )
+from .tp import apply_tp_shardings, tp_param_shardings  # noqa: F401
