@@ -10,149 +10,126 @@ pipeline (the numpy oracle in longterm360fov_tpu.oracle; the reference
 itself is a CPU research codebase and its mount was empty — SURVEY.md
 provenance note). Target: >50x (BASELINE.json:5).
 
-Structure: the parent process never touches the TPU; it launches one
-worker subprocess per decode path (XLA scan decoder, then the fused
-Pallas decoder) with a hard timeout each, and reports the fastest
-successful path. Rationale: this environment's axon TPU plugin
-remote-compiles Mosaic kernels in O(5 min) and caches XLA (but not
-Mosaic) programs server-side — a timeout on the fused path must not
-cost the whole benchmark. Diagnostics go to stderr; stdout carries
-exactly one JSON line.
+Tuning provenance (scripts/tpu_sweep.py → bench_sweep.jsonl, TPU v5e):
+throughput peaks at batch 16384; bf16 params beat f32 by ~25% at a max
+great-circle deviation of 0.07° (negligible vs model error); the fused
+Pallas decoder wins at batch ≤4k but XLA's full-batch scan matmuls win
+at the throughput-optimal batch. Primary config: XLA scan decode, bf16,
+batch 16384 → ~3.9M traj/s ≈ 800x the CPU oracle.
+
+Runtime note: this environment's axon TPU plugin pays a one-off
+~300-450s cost on the FIRST large compile of a process (later compiles
+take seconds), so everything runs in ONE process and a SIGALRM watchdog
+guarantees a JSON line even if a compile stalls past the budget.
 """
 
 import json
-import os
-import subprocess
+import signal
 import sys
 import time
 
 import numpy as np
 
-BATCH = 1024
-ITERS = 30
-HERE = os.path.dirname(os.path.abspath(__file__))
+BATCH = 16384
+ITERS = 20
+WATCHDOG_S = 540
+
+_result = {"value": 0.0, "vs_baseline": 0.0, "error": "watchdog"}
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def _make_past(batch, h_in):
-    rng = np.random.default_rng(0)
-    past = rng.normal(size=(batch, h_in, 3)).astype(np.float32)
-    past /= np.linalg.norm(past, axis=-1, keepdims=True)
-    return past
-
-
-def worker(path: str) -> None:
-    """Measure one decode path on the TPU; print worker JSON to stdout."""
-    import jax
-    import jax.numpy as jnp
-
-    sys.path.insert(0, HERE)
-    from longterm360fov_tpu import windows
-    from longterm360fov_tpu.config import get_preset
-    from longterm360fov_tpu.models import seq2seq as S
-
-    cfg = get_preset("seq2seq-tf-30")
-    params = S.init(jax.random.PRNGKey(0), cfg.model)
-    past = jnp.asarray(_make_past(BATCH, cfg.model.h_in))
-
-    if path == "fused":
-
-        @jax.jit
-        def serve(p):
-            past_n, _, anchor = windows.normalize_window(p)
-            pred_n = S.decode_fused(params, cfg.model, past_n, tile_b=256)
-            return windows.denormalize_window(pred_n, anchor, to_sphere=True)
-
-    else:
-
-        @jax.jit
-        def serve(p):
-            past_n, _, anchor = windows.normalize_window(p)
-            pred_n = S.decode(params, cfg.model, past_n)
-            return windows.denormalize_window(pred_n, anchor, to_sphere=True)
-
-    t0 = time.time()
-    serve(past).block_until_ready()
-    log(f"[{path}] compile+run1: {time.time()-t0:.1f}s")
-    t0 = time.time()
-    for _ in range(ITERS):
-        out = serve(past)
-    out.block_until_ready()
-    dt = time.time() - t0
-    print(json.dumps({"path": path, "traj_per_s": BATCH * ITERS / dt}))
-
-
-def cpu_baseline() -> float:
-    """Reference-semantics numpy pipeline throughput on host CPU."""
-    sys.path.insert(0, HERE)
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")  # params init off-TPU
-    from longterm360fov_tpu import oracle
-    from longterm360fov_tpu.config import get_preset
-    from longterm360fov_tpu.models import seq2seq as S
-
-    cfg = get_preset("seq2seq-tf-30")
-    params = S.init(jax.random.PRNGKey(0), cfg.model)
-    past = _make_past(256, cfg.model.h_in)
-    t0 = time.time()
-    oracle.oracle_predict(params, cfg.model, past)
-    dt = time.time() - t0
-    return 256 / dt
-
-
-def main():
-    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
-        worker(sys.argv[2])
-        return
-    if len(sys.argv) > 1 and sys.argv[1] == "--cpu-baseline":
-        print(json.dumps({"cpu_traj_per_s": cpu_baseline()}))
-        return
-
-    results = {}
-    t0 = time.time()
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--cpu-baseline"],
-        capture_output=True, text=True, timeout=600,
-    )
-    cpu_thr = json.loads(out.stdout.strip().splitlines()[-1])["cpu_traj_per_s"]
-    log(f"cpu oracle: {cpu_thr:,.0f} traj/s ({time.time()-t0:.0f}s)")
-
-    for path, tmo in (("xla", 420), ("fused", 540)):
-        t0 = time.time()
-        try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--worker", path],
-                capture_output=True, text=True, timeout=tmo,
-            )
-            sys.stderr.write(out.stderr[-2000:])
-            line = out.stdout.strip().splitlines()[-1]
-            results[path] = json.loads(line)["traj_per_s"]
-            log(f"[{path}] {results[path]:,.0f} traj/s ({time.time()-t0:.0f}s)")
-        except (subprocess.TimeoutExpired, IndexError, ValueError, KeyError) as e:
-            log(f"[{path}] FAILED after {time.time()-t0:.0f}s: {type(e).__name__}")
-
-    if not results:
-        print(json.dumps({"metric": "viewer_trajectories_per_sec_per_chip_30frame",
-                          "value": 0.0, "unit": "trajectories/s",
-                          "vs_baseline": 0.0, "error": "all decode paths failed"}))
-        return
-    best_path = max(results, key=results.get)
-    best = results[best_path]
-    log(f"best: {best_path}")
+def emit_and_exit(*_args):
     print(
         json.dumps(
             {
                 "metric": "viewer_trajectories_per_sec_per_chip_30frame",
-                "value": round(best, 1),
+                "value": round(_result["value"], 1),
                 "unit": "trajectories/s",
-                "vs_baseline": round(best / cpu_thr, 2),
+                "vs_baseline": round(_result["vs_baseline"], 2),
+                **(
+                    {"error": _result["error"]}
+                    if _result.get("error")
+                    else {}
+                ),
             }
-        )
+        ),
+        flush=True,
     )
+    sys.exit(0)
+
+
+def main():
+    signal.signal(signal.SIGALRM, emit_and_exit)
+    signal.alarm(WATCHDOG_S)
+
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from longterm360fov_tpu import oracle, windows
+    from longterm360fov_tpu.config import get_preset
+    from longterm360fov_tpu.models import seq2seq as S
+
+    cfg32 = get_preset("seq2seq-tf-30")
+    cfg16 = dataclasses.replace(
+        cfg32, model=dataclasses.replace(cfg32.model, param_dtype="bfloat16")
+    )
+    params32 = S.init(jax.random.PRNGKey(0), cfg32.model)
+    params16 = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params32)
+
+    rng = np.random.default_rng(0)
+    past_h = rng.normal(size=(BATCH, cfg32.model.h_in, 3)).astype(np.float32)
+    past_h /= np.linalg.norm(past_h, axis=-1, keepdims=True)
+
+    # CPU oracle baseline (pure numpy). Fetch params to host FIRST —
+    # np.asarray on a device array round-trips the TPU relay and must
+    # not pollute the timed region.
+    params_host = jax.tree.map(lambda x: np.asarray(x), params32)
+    t0 = time.time()
+    oracle.oracle_predict(params_host, cfg32.model, past_h[:256])
+    cpu_thr = 256 / (time.time() - t0)
+    log(f"cpu oracle: {cpu_thr:,.0f} traj/s")
+    _result["error"] = "watchdog before TPU measurement"
+
+    past = jnp.asarray(past_h)
+
+    def make_serve(cfg, params):
+        @jax.jit
+        def serve(x):
+            past_n, _, anchor = windows.normalize_window(x)
+            pred_n = S.decode(params, cfg.model, past_n)
+            return windows.denormalize_window(pred_n, anchor, to_sphere=True)
+
+        return serve
+
+    best = 0.0
+    for name, cfg, params in (
+        ("xla-bf16", cfg16, params16),
+        ("xla-f32", cfg32, params32),
+    ):
+        serve = make_serve(cfg, params)
+        t0 = time.time()
+        serve(past).block_until_ready()
+        log(f"[{name}] compile+run1: {time.time()-t0:.1f}s")
+        t0 = time.time()
+        for _ in range(ITERS):
+            out = serve(past)
+        out.block_until_ready()
+        thr = BATCH * ITERS / (time.time() - t0)
+        log(f"[{name}] {thr:,.0f} traj/s")
+        best = max(best, thr)
+        _result.update(
+            value=best, vs_baseline=best / cpu_thr, error=None
+        )
+        if best > 3e6:
+            break  # primary path hit expected throughput
+
+    signal.alarm(0)
+    emit_and_exit()
 
 
 if __name__ == "__main__":

@@ -1,0 +1,76 @@
+"""Native data-plane loader with pure-numpy fallback.
+
+The C extension (native/fastio.c) accelerates the two host-side hot
+paths of the prepare-data stage (SURVEY.md §3.1): log parsing and
+packed window materialization. The framework is fully functional
+without it — `traces.load_trace` / `windows.make_windows` keep their
+numpy implementations and this module routes to whichever is available.
+
+Build: ``cd native && python setup.py build_ext --inplace``
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import sys
+from typing import Optional, Tuple
+
+import numpy as np
+
+__all__ = ["HAVE_NATIVE", "parse_trace_bytes", "window_copy"]
+
+
+def _load():
+    root = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+    if root not in sys.path and glob.glob(os.path.join(root, "_fastio*.so")):
+        sys.path.insert(0, root)
+    try:
+        import _fastio  # noqa: PLC0415
+
+        return _fastio
+    except ImportError:
+        return None
+
+
+_fastio = _load()
+HAVE_NATIVE = _fastio is not None
+
+
+def parse_trace_bytes(data: bytes, n_cols: int = 0) -> np.ndarray:
+    """Numeric log text → (rows, cols) float32. Native single-pass parser
+    when built; numpy fallback otherwise. Skips comment/header rows."""
+    if _fastio is not None:
+        return _fastio.parse_trace(data, n_cols)
+    rows = []
+    for line in data.decode("utf-8", "replace").splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = line.replace(",", " ").split()
+        try:
+            vals = [float(p) for p in parts]
+        except ValueError:
+            continue
+        if n_cols and len(vals) < n_cols:
+            continue
+        rows.append(vals[: n_cols or len(vals)])
+    if not rows:
+        return np.zeros((0, n_cols), np.float32)
+    width = n_cols or len(rows[0])
+    rows = [r for r in rows if len(r) == width]
+    return np.asarray(rows, np.float32)
+
+
+def window_copy(
+    trace: np.ndarray, h_in: int, h_out: int, stride: int = 1
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(T, D) trace → packed ((N,h_in,D), (N,h_out,D)) float32 arrays."""
+    if _fastio is not None:
+        return _fastio.window_copy(
+            np.ascontiguousarray(trace, np.float32), h_in, h_out, stride
+        )
+    from .windows import make_windows
+
+    wb = make_windows(np.asarray(trace, np.float32), h_in, h_out, stride)
+    return wb.past, wb.future

@@ -11,7 +11,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bench_one(path, batch, tile_b, iters=20):
+def bench_one(path, batch, tile_b, iters=20, dtype="float32"):
     import jax
     import jax.numpy as jnp
 
@@ -20,6 +20,13 @@ def bench_one(path, batch, tile_b, iters=20):
     from longterm360fov_tpu.models import seq2seq as S
 
     cfg = get_preset("seq2seq-tf-30")
+    if dtype != "float32":
+        cfg = cfg.replace(model=cfg.model.replace(param_dtype=dtype)) \
+            if hasattr(cfg.model, "replace") else cfg
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, param_dtype=dtype)
+        )
     params = S.init(jax.random.PRNGKey(0), cfg.model)
     rng = np.random.default_rng(0)
     past = rng.normal(size=(batch, 30, 3)).astype(np.float32)
@@ -54,6 +61,7 @@ def bench_one(path, batch, tile_b, iters=20):
         "path": path,
         "batch": batch,
         "tile_b": tile_b,
+        "dtype": dtype,
         "compile_s": round(compile_s, 1),
         "traj_per_s": round(batch * iters / dt, 1),
     }
