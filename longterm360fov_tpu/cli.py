@@ -46,6 +46,7 @@ def _build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--log-file")
     tr.add_argument("--resume", action="store_true")
     tr.add_argument("--data-parallel", action="store_true")
+    tr.add_argument("--bf16", action="store_true", help="bfloat16 params/compute")
 
     ev = sub.add_parser("eval", help="evaluate a checkpoint")
     ev.add_argument("--preset", required=True)
@@ -57,6 +58,16 @@ def _build_parser() -> argparse.ArgumentParser:
     sb.add_argument("--preset", default="seq2seq-tf-30")
     sb.add_argument("--batch", type=int, default=4096)
     sb.add_argument("--iters", type=int, default=30)
+
+    sv = sub.add_parser(
+        "serve", help="streaming-prefetch simulation: hit rate + bandwidth"
+    )
+    sv.add_argument("--preset", required=True)
+    sv.add_argument("--ckpt-dir", required=True)
+    sv.add_argument("--data")
+    sv.add_argument("--fov", type=float, default=90.0)
+    sv.add_argument("--tile-rows", type=int, default=6)
+    sv.add_argument("--tile-cols", type=int, default=12)
 
     sub.add_parser("presets", help="list experiment presets")
     return p
@@ -129,6 +140,8 @@ def cmd_train(args):
             over[k] = v
     if args.data_parallel:
         over["data_parallel"] = True
+    if args.bf16:
+        over["model_param_dtype"] = "bfloat16"
     cfg = get_preset(args.preset, **over)
     fam = get_family(cfg.model_family)
     train_d, test_d = _load_or_synth_data(args, cfg)
@@ -231,6 +244,55 @@ def cmd_serve_bench(args):
     )
 
 
+def cmd_serve(args):
+    """Streaming-prefetch simulation (SURVEY.md §3.3 + paper §I): decode
+    the test split, build tile prefetch sets from the predictions, and
+    report how often the viewer's true tile was prefetched vs the
+    bandwidth spent — for the model and the hold-last baseline."""
+    import jax.numpy as jnp
+
+    from . import baselines, checkpoint as C, infer
+    from . import train as TR
+    from .config import get_preset
+    from .models import get_family
+
+    cfg = get_preset(args.preset)
+    fam = get_family(cfg.model_family)
+    opt = TR.make_optimizer(cfg)
+    ck = C.Checkpointer(args.ckpt_dir, cfg)
+    state = ck.restore(TR.init_state(cfg, fam.init, opt))
+    _, test_d = _load_or_synth_data(args, cfg)
+
+    kw = dict(
+        tile_rows=args.tile_rows, tile_cols=args.tile_cols, fov_deg=args.fov
+    )
+    pred = infer.predict_batch(
+        state.params, cfg, fam.apply,
+        {"past": jnp.asarray(test_d["past"])},
+        None, getattr(fam, "batch_extras", None),
+    )
+    true = jnp.asarray(test_d["future"])
+    hit, tiles = infer.prefetch_accuracy(pred, true, **kw)
+    pers = baselines.persistence(
+        jnp.asarray(test_d["past"]), cfg.model.h_out
+    )
+    hit_p, tiles_p = infer.prefetch_accuracy(pers, true, **kw)
+    print(
+        json.dumps(
+            {
+                "model_hit_rate": round(float(hit), 4),
+                "model_tiles_per_frame": round(float(tiles), 2),
+                "persistence_hit_rate": round(float(hit_p), 4),
+                "persistence_tiles_per_frame": round(float(tiles_p), 2),
+                "n_windows": int(test_d["past"].shape[0]),
+                "horizon": cfg.model.h_out,
+                "grid": f"{args.tile_rows}x{args.tile_cols}",
+                "fov_deg": args.fov,
+            }
+        )
+    )
+
+
 def cmd_presets(_args):
     from .config import PRESETS
 
@@ -248,6 +310,7 @@ def main(argv=None):
         "prepare-data": cmd_prepare_data,
         "train": cmd_train,
         "eval": cmd_eval,
+        "serve": cmd_serve,
         "serve-bench": cmd_serve_bench,
         "presets": cmd_presets,
     }[args.cmd](args)

@@ -129,3 +129,47 @@ def tiles_for_fov(
         jnp.sqrt((jnp.pi / tile_rows) ** 2 + (2 * jnp.pi / tile_cols) ** 2)
     )
     return ang <= (fov_deg / 2.0 + tile_radius_deg)
+
+
+def tile_of(xyz: jax.Array, *, tile_rows: int = 6, tile_cols: int = 12) -> jax.Array:
+    """Index of the tile containing each view direction (..., 3) → (...,)
+    int32 in [0, rows*cols)."""
+    yaw, pitch = geometry.xyz_to_euler(xyz)
+    r = jnp.clip(
+        ((jnp.pi / 2 - pitch) / jnp.pi * tile_rows).astype(jnp.int32),
+        0, tile_rows - 1,
+    )
+    c = jnp.clip(
+        ((yaw + jnp.pi) / (2 * jnp.pi) * tile_cols).astype(jnp.int32),
+        0, tile_cols - 1,
+    )
+    return r * tile_cols + c
+
+
+def prefetch_accuracy(
+    pred_xyz: jax.Array,
+    true_xyz: jax.Array,
+    *,
+    tile_rows: int = 6,
+    tile_cols: int = 12,
+    fov_deg: float = 90.0,
+):
+    """Serving-quality metrics for tile prefetch (the paper's systems
+    motivation): did the prefetched tile set cover where the viewer
+    actually looked?
+
+    Returns (hit_rate, tiles_per_frame): hit_rate = fraction of frames
+    whose TRUE viewport-center tile was in the predicted prefetch set;
+    tiles_per_frame = mean prefetched tile count (bandwidth proxy —
+    prefetching everything trivially hits 100%).
+    """
+    mask = tiles_for_fov(
+        pred_xyz, tile_rows=tile_rows, tile_cols=tile_cols, fov_deg=fov_deg
+    )  # (..., M)
+    true_tile = tile_of(true_xyz, tile_rows=tile_rows, tile_cols=tile_cols)
+    hit = jnp.take_along_axis(
+        mask, true_tile[..., None], axis=-1
+    )[..., 0]
+    return jnp.mean(hit.astype(jnp.float32)), jnp.mean(
+        jnp.sum(mask, axis=-1).astype(jnp.float32)
+    )

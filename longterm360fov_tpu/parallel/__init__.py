@@ -1,4 +1,4 @@
-from . import mesh, tp  # noqa: F401
+from . import mesh, multihost, tp  # noqa: F401
 from .mesh import (  # noqa: F401
     make_mesh,
     make_sharded_train_step,

@@ -1,0 +1,56 @@
+"""Tile mapping + prefetch-accuracy serving metrics."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from longterm360fov_tpu import geometry as G
+from longterm360fov_tpu import infer
+from longterm360fov_tpu.parallel import multihost
+
+
+def test_tile_of_corners():
+    # straight ahead (yaw 0, pitch 0) → middle row, middle-ish col
+    v = G.euler_to_xyz(jnp.array(0.0), jnp.array(0.0))
+    t = int(infer.tile_of(v, tile_rows=6, tile_cols=12))
+    r, c = divmod(t, 12)
+    assert r == 3 or r == 2  # equator boundary
+    assert c == 6
+    # north pole → row 0
+    vp = G.euler_to_xyz(jnp.array(0.0), jnp.array(np.pi / 2 - 1e-4))
+    assert int(infer.tile_of(vp)) // 12 == 0
+
+
+def test_tiles_for_fov_contains_own_tile():
+    rng = np.random.default_rng(0)
+    yaw = rng.uniform(-np.pi, np.pi, 100)
+    pitch = rng.uniform(-1.2, 1.2, 100)
+    v = G.euler_to_xyz(jnp.asarray(yaw), jnp.asarray(pitch))
+    mask = infer.tiles_for_fov(v)
+    own = infer.tile_of(v)
+    picked = np.take_along_axis(
+        np.asarray(mask), np.asarray(own)[:, None], axis=-1
+    )
+    assert picked.all(), "view-center tile must always be prefetched"
+
+
+def test_prefetch_accuracy_perfect_prediction():
+    rng = np.random.default_rng(1)
+    v = G.euler_to_xyz(
+        jnp.asarray(rng.uniform(-np.pi, np.pi, (8, 10))),
+        jnp.asarray(rng.uniform(-1.2, 1.2, (8, 10))),
+    )
+    hit, tiles = infer.prefetch_accuracy(v, v)
+    assert float(hit) == 1.0
+    assert 1.0 <= float(tiles) <= 72.0
+
+
+def test_prefetch_accuracy_antipodal_prediction_misses():
+    v = G.euler_to_xyz(jnp.zeros((4, 5)), jnp.zeros((4, 5)))
+    hit, _ = infer.prefetch_accuracy(-v, v, fov_deg=60.0)
+    assert float(hit) == 0.0
+
+
+def test_multihost_noop_single_process():
+    assert multihost.init_multihost() is False
+    sl = multihost.host_local_batch_slice(64)
+    assert sl == slice(0, 64)
