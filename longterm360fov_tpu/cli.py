@@ -53,6 +53,7 @@ def _build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--ckpt-dir", required=True)
     ev.add_argument("--data")
     ev.add_argument("--json", action="store_true")
+    ev.add_argument("--plot", help="write <PLOT>_curve.png and <PLOT>_traj.png")
 
     sb = sub.add_parser("serve-bench", help="decode-throughput microbench")
     sb.add_argument("--preset", default="seq2seq-tf-30")
@@ -201,6 +202,33 @@ def cmd_eval(args):
         state.params, cfg, fam.apply, test_d,
         extras_fn=getattr(fam, "batch_extras", None),
     )
+    if args.plot:
+        import jax.numpy as jnp
+
+        from . import baselines, infer, plots
+
+        pers = baselines.persistence(
+            jnp.asarray(test_d["past"]), cfg.model.h_out
+        )
+        pers_res = E.evaluate_predictions(np.asarray(pers), test_d["future"])
+        curve_png = plots.plot_error_by_step(
+            {
+                cfg.name: res["error_by_step_deg"],
+                "persistence": pers_res["error_by_step_deg"],
+            },
+            f"{args.plot}_curve.png",
+            rate_hz=cfg.rate_hz,
+        )
+        pred = infer.predict_batch(
+            state.params, cfg, fam.apply,
+            {k: jnp.asarray(v[:1]) for k, v in test_d.items() if k != "future"},
+            None, getattr(fam, "batch_extras", None),
+        )
+        traj_png = plots.plot_trajectory(
+            test_d["past"][0], test_d["future"][0], np.asarray(pred[0]),
+            f"{args.plot}_traj.png", rate_hz=cfg.rate_hz,
+        )
+        print(f"plots: {curve_png}, {traj_png}", file=sys.stderr)
     if args.json:
         print(json.dumps(res))
     else:
