@@ -10,11 +10,10 @@ from __future__ import annotations
 
 from typing import Callable, Dict, Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import losses, windows
+from . import losses
 from .config import ExperimentConfig
 
 __all__ = ["evaluate", "evaluate_predictions", "comparison_table"]

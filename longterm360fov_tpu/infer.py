@@ -16,14 +16,13 @@ chip at the 30-frame horizon (BASELINE.json:2).
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
 
 from . import geometry, windows
 from .config import ExperimentConfig
-from .models import seq2seq
 
 __all__ = ["predict_batch", "predict_euler", "tiles_for_fov", "make_predict_fn"]
 

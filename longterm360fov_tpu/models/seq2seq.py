@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .cell import LSTMParams, get_cell_fn, init_lstm
+from .cell import get_cell_fn, init_lstm
 
 __all__ = ["Seq2SeqConfig", "init", "apply", "decode"]
 

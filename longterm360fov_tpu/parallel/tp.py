@@ -28,7 +28,6 @@ from typing import Any
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.cell import LSTMParams
 
 __all__ = ["tp_param_shardings", "apply_tp_shardings"]
 

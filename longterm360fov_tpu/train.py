@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import json
 import time
-from functools import partial
 from typing import Any, Callable, Dict, Iterator, NamedTuple, Optional, Tuple
 
 import jax

@@ -1,7 +1,6 @@
 """Checkpoint/resume determinism (SURVEY.md §5)."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from longterm360fov_tpu import checkpoint as C

@@ -3,7 +3,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from longterm360fov_tpu import data as D
 from longterm360fov_tpu import evaluate as E

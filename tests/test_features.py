@@ -4,7 +4,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from longterm360fov_tpu.features import equirect as FE
 from longterm360fov_tpu.ops import conv_resize as CR

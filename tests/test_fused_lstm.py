@@ -8,7 +8,7 @@ import pytest
 
 from longterm360fov_tpu.models import seq2seq as S
 from longterm360fov_tpu.models.cell import init_lstm, lstm_cell
-from longterm360fov_tpu.ops.fused_lstm import fused_decode, fused_lstm_cell
+from longterm360fov_tpu.ops.fused_lstm import fused_lstm_cell
 
 
 def test_fused_cell_parity():
