@@ -11,11 +11,12 @@ itself is a CPU research codebase and its mount was empty — SURVEY.md
 provenance note). Target: >50x (BASELINE.json:5).
 
 Tuning provenance (scripts/tpu_sweep.py → bench_sweep.jsonl, TPU v5e):
-throughput peaks at batch 16384; bf16 params beat f32 by ~25% at a max
-great-circle deviation of 0.07° (negligible vs model error); the fused
-Pallas decoder wins at batch ≤4k but XLA's full-batch scan matmuls win
-at the throughput-optimal batch. Primary config: XLA scan decode, bf16,
-batch 16384 → ~3.9M traj/s ≈ 800x the CPU oracle.
+throughput peaks at batch 16384. Primary path: ops.fused_lstm.fused_serve
+— encoder + autoregressive decoder in ONE Pallas kernel, weights/states
+VMEM-resident for the whole request, one packed [x,h] matmul per
+layer-step → ~5.1M traj/s (vs 3.9M for the best XLA scan path, bf16).
+f32 vs bf16 is a wash inside VMEM (the MXU computes f32 via bf16 passes
+and bandwidth is no longer the bottleneck), so f32 is kept for exactness.
 
 Runtime note: this environment's axon TPU plugin pays a one-off
 ~300-450s cost on the FIRST large compile of a process (later compiles
@@ -106,12 +107,21 @@ def main():
 
         return serve
 
+    def make_serve_fused(cfg, params):
+        @jax.jit
+        def serve(x):
+            past_n, _, anchor = windows.normalize_window(x)
+            pred_n = S.serve_fused(params, cfg.model, past_n)
+            return windows.denormalize_window(pred_n, anchor, to_sphere=True)
+
+        return serve
+
     best = 0.0
-    for name, cfg, params in (
-        ("xla-bf16", cfg16, params16),
-        ("xla-f32", cfg32, params32),
+    for name, serve in (
+        ("fused-serve-f32", make_serve_fused(cfg32, params32)),
+        ("xla-bf16", make_serve(cfg16, params16)),
+        ("xla-f32", make_serve(cfg32, params32)),
     ):
-        serve = make_serve(cfg, params)
         t0 = time.time()
         serve(past).block_until_ready()
         log(f"[{name}] compile+run1: {time.time()-t0:.1f}s")
@@ -125,7 +135,7 @@ def main():
         _result.update(
             value=best, vs_baseline=best / cpu_thr, error=None
         )
-        if best > 3e6:
+        if best > 4.5e6:
             break  # primary path hit expected throughput
 
     signal.alarm(0)

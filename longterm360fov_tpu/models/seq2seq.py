@@ -216,6 +216,30 @@ def decode(
     return apply(params, cfg, past_n, None, context=context)
 
 
+def serve_fused(
+    params: Params,
+    cfg: Seq2SeqConfig,
+    past_n: jax.Array,
+    *,
+    tile_b: int = 2048,
+) -> jax.Array:
+    """Whole-request fused serve: encoder AND decoder in one Pallas
+    kernel (ops.fused_lstm.fused_serve) — the fastest single-chip path
+    measured (5.1M traj/s @ b16384 on v5e vs 3.9M for the XLA scan;
+    BASELINE.md). No context fusion (plain seq2seq serving config)."""
+    from ..ops.fused_lstm import fused_serve
+
+    return fused_serve(
+        params["encoder"],
+        params["decoder"],
+        params["proj"]["w"],
+        params["proj"]["b"],
+        past_n,
+        cfg.h_out,
+        tile_b=min(tile_b, past_n.shape[0]),
+    )
+
+
 def decode_fused(
     params: Params,
     cfg: Seq2SeqConfig,

@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models.cell import LSTMParams
 
-__all__ = ["fused_lstm_cell", "fused_decode"]
+__all__ = ["fused_lstm_cell", "fused_decode", "fused_serve"]
 
 
 def _interpret() -> bool:
@@ -276,3 +276,195 @@ def fused_decode(
         interpret=_interpret(),
     )(*inputs)
     return jnp.transpose(ys, (2, 1, 0))  # (B, T, D)
+
+
+# ---------------------------------------------------------------------------
+# Tier 3: whole-request fused serve kernel (encoder + decoder, one launch)
+# ---------------------------------------------------------------------------
+
+
+def _serve_kernel(
+    *refs,
+    n_layers: int,
+    t_in: int,
+    t_out: int,
+    hidden: int,
+    d: int,
+    tile_b: int,
+    compute_dtype,
+):
+    """refs layout:
+    inputs:  xs (D, T_in, B) past window,
+             w_enc_l ((in_l+H), 4H) x L, b_enc_l (1, 4H) x L,
+             w_dec_l ((in_l+H), 4H) x L, b_dec_l (1, 4H) x L,
+             proj_w (H, D), proj_b (1, D)
+    outputs: ys (D, T_out, B)
+    scratch: z_l (B, in_l+H) x L   packed [x_or_y, h] per layer,
+             c   (L, B, H)        cell states (f32)
+
+    One fused matmul per layer per step: gates = z_l @ W_l. The packed
+    z buffer holds the step input in its first in_l lanes and the
+    hidden state in the rest, so there is no concat and no separate
+    x/h matmuls. Everything (weights, states, feedback) stays in VMEM
+    for the whole request; HBM sees the past window once in and the
+    trajectory once out.
+    """
+    it = iter(refs)
+    xs_ref = next(it)
+    w_enc = [next(it) for _ in range(n_layers)]
+    b_enc = [next(it) for _ in range(n_layers)]
+    w_dec = [next(it) for _ in range(n_layers)]
+    b_dec = [next(it) for _ in range(n_layers)]
+    pw_ref = next(it)
+    pb_ref = next(it)
+    ys_ref = next(it)
+    z_s = [next(it) for _ in range(n_layers)]
+    c_s = next(it)
+
+    for l in range(n_layers):
+        z_s[l][:] = jnp.zeros_like(z_s[l])
+    c_s[:] = jnp.zeros_like(c_s)
+
+    def cell(l, w_refs, b_refs):
+        in_l = d if l == 0 else hidden
+        # weights arrive pre-cast to compute_dtype (cast hoisted out of
+        # the kernel — an in-loop cast would re-convert every step)
+        gates = (
+            jnp.dot(z_s[l][:], w_refs[l][:],
+                    preferred_element_type=jnp.float32)
+            + b_refs[l][:]
+        )
+        i = jax.nn.sigmoid(gates[:, :hidden])
+        f = jax.nn.sigmoid(gates[:, hidden : 2 * hidden])
+        g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
+        o = jax.nn.sigmoid(gates[:, 3 * hidden :])
+        c_new = f * c_s[l] + i * g
+        h_new = o * jnp.tanh(c_new)
+        c_s[l] = c_new
+        z_s[l][:, in_l:] = h_new.astype(z_s[l].dtype)
+        return h_new
+
+    def enc_step(t, _):
+        x_t = xs_ref[:, pl.ds(t, 1), :][:, 0, :].T  # (tile_b, d)
+        inp = x_t
+        for l in range(n_layers):
+            in_l = d if l == 0 else hidden
+            z_s[l][:, :in_l] = inp.astype(z_s[l].dtype)
+            inp = cell(l, w_enc, b_enc)
+        return 0
+
+    lax.fori_loop(0, t_in, enc_step, 0)
+
+    # decoder starts from the last observed position
+    y0 = xs_ref[:, pl.ds(t_in - 1, 1), :][:, 0, :].T  # (tile_b, d)
+    z_s[0][:, :d] = y0.astype(z_s[0].dtype)
+
+    def dec_step(t, _):
+        inp = None
+        for l in range(n_layers):
+            if l > 0:
+                z_s[l][:, :hidden] = inp.astype(z_s[l].dtype)
+            inp = cell(l, w_dec, b_dec)
+        y = (
+            jnp.dot(inp.astype(compute_dtype), pw_ref[:],
+                    preferred_element_type=jnp.float32)
+            + pb_ref[:]
+        )
+        ys_ref[:, pl.ds(t, 1), :] = y.T[:, None, :].astype(ys_ref.dtype)
+        z_s[0][:, :d] = y.astype(z_s[0].dtype)
+        return 0
+
+    lax.fori_loop(0, t_out, dec_step, 0)
+
+
+def fused_serve(
+    enc_params: Sequence[LSTMParams],
+    dec_params: Sequence[LSTMParams],
+    proj_w: jax.Array,
+    proj_b: jax.Array,
+    past_n: jax.Array,  # (B, T_in, D) anchor-normalized past windows
+    t_out: int,
+    *,
+    tile_b: int = 2048,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """Whole serve request — encode + autoregressive decode — in ONE
+    pallas_call → (B, t_out, D) normalized predictions.
+
+    Matches encoder-scan + decode semantics of models.seq2seq (parity
+    test in tests/test_fused_lstm.py). ``compute_dtype=jnp.bfloat16``
+    runs the matmuls in bf16 with f32 gate accumulation and f32 cell
+    state (the precision-critical carry).
+
+    Context fusion is not supported here (plain seq2seq serve path —
+    the throughput-critical config, BASELINE.json:2).
+    """
+    n_layers = len(enc_params)
+    batch, t_in, d = past_n.shape
+    hidden = proj_w.shape[0]
+    tile_b = min(tile_b, batch)
+    if batch % tile_b:
+        raise ValueError(f"batch {batch} not divisible by tile_b {tile_b}")
+    grid = (batch // tile_b,)
+
+    # (B, T, D) → (D, T, B): lane axis = batch (no lane padding)
+    xs = jnp.transpose(past_n.astype(jnp.float32), (2, 1, 0))
+
+    kernel = functools.partial(
+        _serve_kernel,
+        n_layers=n_layers,
+        t_in=t_in,
+        t_out=t_out,
+        hidden=hidden,
+        d=d,
+        tile_b=tile_b,
+        compute_dtype=compute_dtype,
+    )
+
+    in_specs = [
+        pl.BlockSpec((d, t_in, tile_b), lambda i: (0, 0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [xs]
+    # kernel ordering: enc weights, enc biases, dec weights, dec biases
+    for plist in (enc_params, dec_params):
+        for p in plist:
+            in_specs.append(
+                pl.BlockSpec(p.w.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+            )
+            inputs.append(p.w.astype(compute_dtype))
+        for p in plist:
+            in_specs.append(
+                pl.BlockSpec((1, p.b.shape[0]), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+            )
+            inputs.append(p.b.reshape(1, -1).astype(jnp.float32))
+    in_specs.append(
+        pl.BlockSpec(proj_w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    )
+    inputs.append(proj_w.astype(compute_dtype))
+    in_specs.append(
+        pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    )
+    inputs.append(proj_b.reshape(1, -1))
+
+    z_dtype = compute_dtype
+    scratch = []
+    for l in range(n_layers):
+        in_l = d if l == 0 else hidden
+        scratch.append(pltpu.VMEM((tile_b, in_l + hidden), z_dtype))
+    scratch.append(pltpu.VMEM((n_layers, tile_b, hidden), jnp.float32))
+
+    ys = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((d, t_out, batch), jnp.float32),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (d, t_out, tile_b), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=scratch,
+        interpret=_interpret(),
+    )(*inputs)
+    return jnp.transpose(ys, (2, 1, 0))

@@ -68,3 +68,59 @@ def test_fused_decode_batch_tiling():
     ref = S.decode(params, cfg, past_n)
     fused = S.decode_fused(params, cfg, past_n, tile_b=4)  # 4 grid tiles
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_serve_parity():
+    """fused_serve (encoder+decoder single kernel) vs XLA path."""
+    from longterm360fov_tpu.ops.fused_lstm import fused_serve
+
+    for layers in (1, 2):
+        cfg = S.Seq2SeqConfig(d=3, hidden=128, layers=layers, h_in=6, h_out=9)
+        params = S.init(jax.random.PRNGKey(10 + layers), cfg)
+        rng = np.random.default_rng(layers)
+        past_n = jnp.asarray(
+            rng.normal(size=(8, 6, 3)).astype(np.float32) * 0.1
+        )
+        ref = S.decode(params, cfg, past_n)
+        out = fused_serve(
+            params["encoder"], params["decoder"],
+            params["proj"]["w"], params["proj"]["b"],
+            past_n, cfg.h_out, tile_b=8,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5,
+            err_msg=f"fused_serve mismatch at layers={layers}",
+        )
+
+
+def test_fused_serve_batch_tiling():
+    from longterm360fov_tpu.ops.fused_lstm import fused_serve
+
+    cfg = S.Seq2SeqConfig(d=3, hidden=128, layers=1, h_in=4, h_out=5)
+    params = S.init(jax.random.PRNGKey(20), cfg)
+    rng = np.random.default_rng(9)
+    past_n = jnp.asarray(rng.normal(size=(16, 4, 3)).astype(np.float32) * 0.1)
+    ref = S.decode(params, cfg, past_n)
+    out = fused_serve(
+        params["encoder"], params["decoder"],
+        params["proj"]["w"], params["proj"]["b"],
+        past_n, cfg.h_out, tile_b=4,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_serve_bf16_close():
+    from longterm360fov_tpu.ops.fused_lstm import fused_serve
+
+    cfg = S.Seq2SeqConfig(d=3, hidden=128, layers=1, h_in=6, h_out=9)
+    params = S.init(jax.random.PRNGKey(30), cfg)
+    rng = np.random.default_rng(11)
+    past_n = jnp.asarray(rng.normal(size=(8, 6, 3)).astype(np.float32) * 0.1)
+    ref = S.decode(params, cfg, past_n)
+    out = fused_serve(
+        params["encoder"], params["decoder"],
+        params["proj"]["w"], params["proj"]["b"],
+        past_n, cfg.h_out, tile_b=8, compute_dtype=jnp.bfloat16,
+    )
+    # bf16 rollout drifts but must stay close on short horizons
+    assert float(jnp.abs(out - ref).max()) < 0.05
