@@ -27,6 +27,10 @@ def _build_parser() -> argparse.ArgumentParser:
     pd = sub.add_parser("prepare-data", help="traces → packed windows npz")
     pd.add_argument("--out", required=True)
     pd.add_argument("--traces", help="directory of trace logs (per-video subdirs); synthetic store if omitted")
+    pd.add_argument(
+        "--dataset-format", default="auto",
+        help="trace layout: auto|tsinghua|quat_wxyz|quat_xyzw|euler_deg|euler_rad",
+    )
     pd.add_argument("--h-in", type=int, default=30)
     pd.add_argument("--h-out", type=int, default=30)
     pd.add_argument("--rate-hz", type=float, default=10.0)
@@ -101,16 +105,16 @@ def cmd_prepare_data(args):
     from . import traces as T
 
     if args.traces:
-        store = T.TraceStore()
-        for path in sorted(
-            glob.glob(os.path.join(args.traces, "**", "*.*"), recursive=True)
-        ):
-            try:
-                tr = T.load_trace(path, rate_hz=args.rate_hz)
-            except (ValueError, OSError) as e:
-                print(f"skip {path}: {e}", file=sys.stderr)
-                continue
-            store.add(tr)
+        from . import datasets as DSETS
+
+        store = DSETS.load_dataset(
+            args.traces, fmt=args.dataset_format, rate_hz=args.rate_hz
+        )
+        if not len(store):
+            raise SystemExit(
+                f"no parseable traces under {args.traces} "
+                f"(format={args.dataset_format})"
+            )
     else:
         store = T.synthetic_store(
             n_users=args.n_users, n_videos=args.n_videos,
