@@ -171,6 +171,7 @@ def cmd_train(args):
             print(f"resumed from step {int(state.step)}")
 
     extras_fn = getattr(fam, "batch_extras", None)
+    fused_tf_fn = getattr(fam, "apply_fused_tf", None)
     if cfg.data_parallel:
         from .parallel import train_loop_dp
 
@@ -178,12 +179,14 @@ def cmd_train(args):
             cfg, fam.init, fam.apply, train_d,
             eval_data=test_d or None, log_file=args.log_file,
             checkpoint_dir=args.ckpt_dir, state=state, extras_fn=extras_fn,
+            fused_tf_fn=fused_tf_fn,
         )
     else:
         state, history = TR.train_loop(
             cfg, fam.init, fam.apply, train_d,
             eval_data=test_d or None, log_file=args.log_file,
             checkpoint_dir=args.ckpt_dir, state=state, extras_fn=extras_fn,
+            fused_tf_fn=fused_tf_fn,
         )
     if history:
         print(json.dumps(history[-1]))

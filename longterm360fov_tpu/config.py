@@ -34,6 +34,10 @@ class ExperimentConfig:
     gc_weight: float = 0.0  # blend of spherical great-circle loss
     # scheduled sampling: teacher_prob anneals ss_start → ss_end over steps
     scheduled_sampling: bool = False
+    # training forward impl: "auto" = fused Pallas teacher-forcing path on
+    # TPU when the family provides one and ss is off; "xla" forces the
+    # scan path; "fused" forces the kernel (interpret mode off-TPU)
+    train_impl: str = "auto"
     ss_start: float = 1.0
     ss_end: float = 0.0
 

@@ -90,6 +90,27 @@ def apply(
     )
 
 
+def apply_fused_tf(
+    params: Dict,
+    cfg: Seq2SeqConfig,
+    past_n: jax.Array,
+    future_n: jax.Array,
+    *,
+    features: Optional[jax.Array] = None,
+    context: Optional[jax.Array] = None,
+    tile_b: int = 1024,
+) -> jax.Array:
+    """Teacher-forced forward on the fused Pallas primitives."""
+    if context is None:
+        if features is not None:
+            context = project_features(params, features).astype(cfg.dtype)
+        else:
+            context = jnp.zeros((past_n.shape[0], cfg.ctx_dim), cfg.dtype)
+    return seq2seq.apply_fused_tf(
+        params, cfg, past_n, future_n, context=context, tile_b=tile_b
+    )
+
+
 def batch_extras(batch: Dict, anchor) -> Dict:
     f = batch.get("features")
     return {} if f is None else {"features": f}

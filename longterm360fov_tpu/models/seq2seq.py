@@ -216,6 +216,43 @@ def decode(
     return apply(params, cfg, past_n, None, context=context)
 
 
+def apply_fused_tf(
+    params: Params,
+    cfg: Seq2SeqConfig,
+    past_n: jax.Array,
+    future_n: jax.Array,
+    *,
+    context: Optional[jax.Array] = None,
+    tile_b: int = 1024,
+) -> jax.Array:
+    """Teacher-forced training forward on the fused Pallas primitives
+    (ops.lstm_train.lstm_seq_states): encoder scan and decoder scan each
+    run as one forward kernel, with a custom-VJP fused backward.
+    Numerically matches :func:`apply` (teacher-forcing mode); scheduled
+    sampling keeps the XLA path (data-dependent feedback)."""
+    from ..ops.lstm_train import lstm_seq_states
+
+    batch = past_n.shape[0]
+    z = jnp.zeros((cfg.layers, batch, cfg.hidden), jnp.float32)
+    _, hT, cT = lstm_seq_states(
+        params["encoder"], past_n.astype(jnp.float32), z, z, tile_b
+    )
+    y0 = past_n[:, -1:, :].astype(jnp.float32)
+    teacher_in = jnp.concatenate(
+        [y0, future_n[:, :-1].astype(jnp.float32)], axis=1
+    )
+    if context is not None:
+        ctx = jnp.broadcast_to(
+            context[:, None, :].astype(jnp.float32),
+            (batch, cfg.h_out, cfg.ctx_dim),
+        )
+        teacher_in = jnp.concatenate([teacher_in, ctx], axis=-1)
+    hs_dec, _, _ = lstm_seq_states(
+        params["decoder"], teacher_in, hT, cT, tile_b
+    )
+    return _project(params, hs_dec).astype(jnp.float32)
+
+
 def serve_fused(
     params: Params,
     cfg: Seq2SeqConfig,

@@ -62,6 +62,7 @@ def make_sharded_train_step(
     optimizer: optax.GradientTransformation,
     mesh: Mesh,
     extras_fn: Optional[Callable] = None,
+    fused_tf_fn: Optional[Callable] = None,
 ) -> Callable:
     """DP train step: per-shard fwd/bwd + pmean(grads) over 'data'.
 
@@ -72,7 +73,8 @@ def make_sharded_train_step(
     (SURVEY.md §4 "Distributed without a cluster").
     """
     inner = make_train_step(
-        cfg, apply_fn, optimizer, axis_name="data", extras_fn=extras_fn
+        cfg, apply_fn, optimizer, axis_name="data", extras_fn=extras_fn,
+        fused_tf_fn=fused_tf_fn,
     )
 
     state_spec = P()  # replicated
@@ -106,6 +108,7 @@ def train_loop_dp(
     state: Optional[TrainState] = None,
     mesh: Optional[Mesh] = None,
     extras_fn: Optional[Callable] = None,
+    fused_tf_fn: Optional[Callable] = None,
 ):
     """Data-parallel twin of train.train_loop: same loop, sharded step.
 
@@ -127,7 +130,8 @@ def train_loop_dp(
 
     optimizer = train_mod.make_optimizer(cfg)
     step_fn = make_sharded_train_step(
-        cfg, apply_fn, optimizer, mesh, extras_fn=extras_fn
+        cfg, apply_fn, optimizer, mesh, extras_fn=extras_fn,
+        fused_tf_fn=fused_tf_fn,
     )
     if state is None:
         state = train_mod.init_state(cfg, init_fn, optimizer)

@@ -69,6 +69,7 @@ def make_train_step(
     *,
     axis_name: Optional[str] = None,
     extras_fn: Optional[Callable] = None,
+    fused_tf_fn: Optional[Callable] = None,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -85,21 +86,30 @@ def make_train_step(
     """
 
     extras = extras_fn or default_extras
+    use_fused = fused_tf_fn is not None and not cfg.scheduled_sampling and (
+        cfg.train_impl == "fused"
+        or (cfg.train_impl == "auto" and jax.default_backend() == "tpu")
+    )
 
     def loss_fn(params, batch, rng, teacher_prob):
         past_n, future_n, anchor = windows.normalize_window(
             batch["past"], batch["future"]
         )
         kwargs = extras(batch, anchor)
-        pred_n = apply_fn(
-            params,
-            cfg.model,
-            past_n,
-            future_n,
-            rng=rng if cfg.scheduled_sampling else None,
-            teacher_prob=teacher_prob,
-            **kwargs,
-        )
+        if use_fused:
+            # fused Pallas teacher-forcing forward+backward (custom VJP);
+            # 2.65x the XLA scan step on v5e at b4096 (BASELINE.md)
+            pred_n = fused_tf_fn(params, cfg.model, past_n, future_n, **kwargs)
+        else:
+            pred_n = apply_fn(
+                params,
+                cfg.model,
+                past_n,
+                future_n,
+                rng=rng if cfg.scheduled_sampling else None,
+                teacher_prob=teacher_prob,
+                **kwargs,
+            )
         pred_xyz = windows.denormalize_window(pred_n, anchor, to_sphere=True)
         true_xyz = batch["future"]
         loss = losses.combined_loss(
@@ -183,6 +193,7 @@ def train_loop(
     checkpoint_dir: Optional[str] = None,
     state: Optional[TrainState] = None,
     extras_fn: Optional[Callable] = None,
+    fused_tf_fn: Optional[Callable] = None,
 ) -> Tuple[TrainState, list]:
     """Single-device training loop (the DP loop lives in parallel.mesh).
 
@@ -190,7 +201,9 @@ def train_loop(
     restored ``state`` to continue from its step counter.
     """
     optimizer = make_optimizer(cfg)
-    step_fn = make_train_step(cfg, apply_fn, optimizer, extras_fn=extras_fn)
+    step_fn = make_train_step(
+        cfg, apply_fn, optimizer, extras_fn=extras_fn, fused_tf_fn=fused_tf_fn
+    )
     if state is None:
         state = init_state(cfg, init_fn, optimizer)
     it = batch_iterator(
