@@ -172,6 +172,7 @@ def cmd_train(args):
 
     extras_fn = getattr(fam, "batch_extras", None)
     fused_tf_fn = getattr(fam, "apply_fused_tf", None)
+    fused_ss_fn = getattr(fam, "apply_fused_ss", None)
     if cfg.data_parallel:
         from .parallel import train_loop_dp
 
@@ -179,14 +180,14 @@ def cmd_train(args):
             cfg, fam.init, fam.apply, train_d,
             eval_data=test_d or None, log_file=args.log_file,
             checkpoint_dir=args.ckpt_dir, state=state, extras_fn=extras_fn,
-            fused_tf_fn=fused_tf_fn,
+            fused_tf_fn=fused_tf_fn, fused_ss_fn=fused_ss_fn,
         )
     else:
         state, history = TR.train_loop(
             cfg, fam.init, fam.apply, train_d,
             eval_data=test_d or None, log_file=args.log_file,
             checkpoint_dir=args.ckpt_dir, state=state, extras_fn=extras_fn,
-            fused_tf_fn=fused_tf_fn,
+            fused_tf_fn=fused_tf_fn, fused_ss_fn=fused_ss_fn,
         )
     if history:
         print(json.dumps(history[-1]))

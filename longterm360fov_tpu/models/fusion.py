@@ -111,6 +111,30 @@ def apply_fused_tf(
     )
 
 
+def apply_fused_ss(
+    params: Dict,
+    cfg: Seq2SeqConfig,
+    past_n: jax.Array,
+    future_n: jax.Array,
+    *,
+    rng=None,
+    teacher_prob=1.0,
+    features: Optional[jax.Array] = None,
+    context: Optional[jax.Array] = None,
+    tile_b: int = 1024,
+) -> jax.Array:
+    """Scheduled-sampling training forward on the fused Pallas decoder."""
+    if context is None:
+        if features is not None:
+            context = project_features(params, features).astype(cfg.dtype)
+        else:
+            context = jnp.zeros((past_n.shape[0], cfg.ctx_dim), cfg.dtype)
+    return seq2seq.apply_fused_ss(
+        params, cfg, past_n, future_n, rng=rng, teacher_prob=teacher_prob,
+        context=context, tile_b=tile_b,
+    )
+
+
 def batch_extras(batch: Dict, anchor) -> Dict:
     f = batch.get("features")
     return {} if f is None else {"features": f}

@@ -127,8 +127,13 @@ def apply(
     rng: Optional[jax.Array] = None,
     teacher_prob: float | jax.Array = 1.0,
     context: Optional[jax.Array] = None,
+    coins: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Full forward pass → normalized predictions (B, H_out, D).
+
+    ``coins``: optional explicit (H_out, B, 1) teacher/model selection
+    (1.0 = teacher) — overrides the rng draw; used by the fused-kernel
+    parity tests.
 
     Modes (selected at trace time by which args are given):
       * ``future_n`` given, ``rng`` None  → pure teacher forcing
@@ -177,7 +182,17 @@ def apply(
         fut = jnp.swapaxes(future_n.astype(cfg.dtype), 0, 1)  # (H_out, B, D)
         # teacher input at step t is the TRUE position at t-1
         teacher_in = jnp.concatenate([y0[None], fut[:-1]], axis=0)
-        if rng is None:
+        if coins is not None:
+            def dec_step(carry, xs_t):
+                states, y_prev = carry
+                teacher_x, coin_t = xs_t
+                x = jnp.where(coin_t > 0, teacher_x, y_prev)
+                states, h = run_layers(states, cat_ctx(x))
+                y = _project(params, h).astype(cfg.dtype)
+                return (states, y), y
+
+            _, ys = lax.scan(dec_step, (states0, y0), (teacher_in, coins))
+        elif rng is None:
             # pure teacher forcing — no feedback path, fully parallel
             # over steps as far as XLA can see past the recurrence
             def dec_step(carry, x_t):
@@ -251,6 +266,49 @@ def apply_fused_tf(
         params["decoder"], teacher_in, hT, cT, tile_b
     )
     return _project(params, hs_dec).astype(jnp.float32)
+
+
+def apply_fused_ss(
+    params: Params,
+    cfg: Seq2SeqConfig,
+    past_n: jax.Array,
+    future_n: jax.Array,
+    *,
+    rng: Optional[jax.Array] = None,
+    teacher_prob: float | jax.Array = 1.0,
+    context: Optional[jax.Array] = None,
+    coins: Optional[jax.Array] = None,
+    tile_b: int = 1024,
+) -> jax.Array:
+    """Scheduled-sampling training forward on fused Pallas primitives
+    (encoder: ops.lstm_train; decoder with per-step teacher/model mixing
+    AND its backward: ops.lstm_ss). Matches :func:`apply` given the same
+    coins (parity-tested)."""
+    from ..ops.lstm_ss import ss_decode
+    from ..ops.lstm_train import lstm_seq_states
+
+    batch = past_n.shape[0]
+    z = jnp.zeros((cfg.layers, batch, cfg.hidden), jnp.float32)
+    _, hT, cT = lstm_seq_states(
+        params["encoder"], past_n.astype(jnp.float32), z, z, tile_b
+    )
+    y0 = past_n[:, -1, :].astype(jnp.float32)
+    fut_tm = jnp.swapaxes(future_n.astype(jnp.float32), 0, 1)
+    teacher_tm = jnp.concatenate([y0[None], fut_tm[:-1]], axis=0)
+    if coins is None:
+        if rng is None:
+            raise ValueError("apply_fused_ss needs rng or explicit coins")
+        coins = jax.random.bernoulli(
+            rng, jnp.asarray(teacher_prob, jnp.float32),
+            (cfg.h_out, batch, 1),
+        )
+    coins = coins.astype(jnp.float32)
+    ctx = None if context is None else context.astype(jnp.float32)
+    return ss_decode(
+        params["decoder"], params["proj"]["w"].astype(jnp.float32),
+        params["proj"]["b"].astype(jnp.float32),
+        hT, cT, y0, teacher_tm, (coins, ctx), tile_b,
+    )
 
 
 def serve_fused(

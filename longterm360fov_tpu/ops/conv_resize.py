@@ -52,10 +52,16 @@ def resize_matrix(dst: int, src: int) -> np.ndarray:
 def _kernel(x_ref, rh_ref, rw_ref, k_ref, b_ref, out_ref, *, h, w, c_out, ksize):
     """One frame: resize via two MXU matmuls, then KxK conv taps on VPU."""
     x = x_ref[0]  # (H, W)
+    # HIGHEST precision: the default MXU f32 path rounds through bf16
+    # passes, which shows up as ~1e-3 relative error vs the XLA oracle;
+    # resize weights are exact partition-of-unity coefficients, so keep
+    # the interpolation exact.
     small = jnp.dot(
-        jnp.dot(rh_ref[:], x, preferred_element_type=jnp.float32),
+        jnp.dot(rh_ref[:], x, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST),
         rw_ref[:].T,
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # (h, w)
     pad = ksize // 2
     padded = jnp.pad(small, ((pad, pad), (pad, pad)))
@@ -114,11 +120,15 @@ def conv_resize_reference(
     h, w = out_hw
     rh = jnp.asarray(resize_matrix(h, src_h))
     rw = jnp.asarray(resize_matrix(w, src_w))
-    small = jnp.einsum("hH,bHW,wW->bhw", rh, frames, rw)
+    small = jnp.einsum(
+        "hH,bHW,wW->bhw", rh, frames, rw,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     out = jax.lax.conv_general_dilated(
         small[:, None],  # (B, 1, h, w)
         kernels[:, None],  # (C, 1, K, K)
         window_strides=(1, 1),
         padding="SAME",
+        precision=jax.lax.Precision.HIGHEST,
     )
     return jax.nn.relu(out + bias[None, :, None, None])

@@ -49,6 +49,21 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _pick_tile(batch: int, want: int) -> int:
+    """Largest legal batch tile ≤ want: Mosaic requires a block's lane
+    dim to be 128-divisible OR equal to the full array dim, so a partial
+    tile must be a multiple of 128 that divides batch; otherwise fall
+    back to the whole batch in one tile."""
+    if want >= batch:
+        return batch
+    t = min(want, batch) // 128 * 128
+    while t >= 128:
+        if batch % t == 0:
+            return t
+        t -= 128
+    return batch
+
+
 # ---------------------------------------------------------------------------
 # Tier 1: single-step fused cell
 # ---------------------------------------------------------------------------
@@ -207,9 +222,7 @@ def fused_decode(
     n_layers, batch, hidden = h0.shape
     d = y0.shape[-1]
     ctx_dim = 0 if context is None else context.shape[-1]
-    tile_b = min(tile_b, batch)
-    if batch % tile_b:
-        raise ValueError(f"batch {batch} not divisible by tile_b {tile_b}")
+    tile_b = _pick_tile(batch, tile_b)
     grid = (batch // tile_b,)
 
     kernel = functools.partial(
@@ -402,9 +415,7 @@ def fused_serve(
     n_layers = len(enc_params)
     batch, t_in, d = past_n.shape
     hidden = proj_w.shape[0]
-    tile_b = min(tile_b, batch)
-    if batch % tile_b:
-        raise ValueError(f"batch {batch} not divisible by tile_b {tile_b}")
+    tile_b = _pick_tile(batch, tile_b)
     grid = (batch // tile_b,)
 
     # (B, T, D) → (D, T, B): lane axis = batch (no lane padding)

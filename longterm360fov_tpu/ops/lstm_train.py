@@ -44,6 +44,22 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+
+def _pick_tile(batch: int, want: int) -> int:
+    """Largest legal batch tile ≤ want: Mosaic requires a block's lane
+    dim to be 128-divisible OR equal to the full array dim, so a partial
+    tile must be a multiple of 128 that divides batch; otherwise fall
+    back to the whole batch in one tile."""
+    if want >= batch:
+        return batch
+    t = min(want, batch) // 128 * 128
+    while t >= 128:
+        if batch % t == 0:
+            return t
+        t -= 128
+    return batch
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
@@ -105,9 +121,7 @@ def _forward(params: Sequence[LSTMParams], xs: jax.Array,
     n_layers = len(params)
     batch, t_len, d = xs.shape
     hidden = params[0].w.shape[1] // 4
-    tile_b = min(tile_b, batch)
-    if batch % tile_b:
-        raise ValueError(f"batch {batch} % tile_b {tile_b} != 0")
+    tile_b = _pick_tile(batch, tile_b)
     grid = (batch // tile_b, t_len)
 
     kernel = functools.partial(
@@ -303,7 +317,7 @@ def _backward(
     n_layers = len(params)
     batch, t_len, d = xs.shape
     hidden = params[0].w.shape[1] // 4
-    tile_b = min(tile_b, batch)
+    tile_b = _pick_tile(batch, tile_b)
     grid = (batch // tile_b, t_len)
 
     kernel = functools.partial(

@@ -63,6 +63,7 @@ def make_sharded_train_step(
     mesh: Mesh,
     extras_fn: Optional[Callable] = None,
     fused_tf_fn: Optional[Callable] = None,
+    fused_ss_fn: Optional[Callable] = None,
 ) -> Callable:
     """DP train step: per-shard fwd/bwd + pmean(grads) over 'data'.
 
@@ -74,7 +75,7 @@ def make_sharded_train_step(
     """
     inner = make_train_step(
         cfg, apply_fn, optimizer, axis_name="data", extras_fn=extras_fn,
-        fused_tf_fn=fused_tf_fn,
+        fused_tf_fn=fused_tf_fn, fused_ss_fn=fused_ss_fn,
     )
 
     state_spec = P()  # replicated
@@ -109,6 +110,7 @@ def train_loop_dp(
     mesh: Optional[Mesh] = None,
     extras_fn: Optional[Callable] = None,
     fused_tf_fn: Optional[Callable] = None,
+    fused_ss_fn: Optional[Callable] = None,
 ):
     """Data-parallel twin of train.train_loop: same loop, sharded step.
 
@@ -131,7 +133,7 @@ def train_loop_dp(
     optimizer = train_mod.make_optimizer(cfg)
     step_fn = make_sharded_train_step(
         cfg, apply_fn, optimizer, mesh, extras_fn=extras_fn,
-        fused_tf_fn=fused_tf_fn,
+        fused_tf_fn=fused_tf_fn, fused_ss_fn=fused_ss_fn,
     )
     if state is None:
         state = train_mod.init_state(cfg, init_fn, optimizer)

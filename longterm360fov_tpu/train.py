@@ -70,6 +70,7 @@ def make_train_step(
     axis_name: Optional[str] = None,
     extras_fn: Optional[Callable] = None,
     fused_tf_fn: Optional[Callable] = None,
+    fused_ss_fn: Optional[Callable] = None,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -86,9 +87,14 @@ def make_train_step(
     """
 
     extras = extras_fn or default_extras
-    use_fused = fused_tf_fn is not None and not cfg.scheduled_sampling and (
-        cfg.train_impl == "fused"
-        or (cfg.train_impl == "auto" and jax.default_backend() == "tpu")
+    impl_on = cfg.train_impl == "fused" or (
+        cfg.train_impl == "auto" and jax.default_backend() == "tpu"
+    )
+    use_fused = (
+        fused_tf_fn is not None and not cfg.scheduled_sampling and impl_on
+    )
+    use_fused_ss = (
+        fused_ss_fn is not None and cfg.scheduled_sampling and impl_on
     )
 
     def loss_fn(params, batch, rng, teacher_prob):
@@ -100,6 +106,12 @@ def make_train_step(
             # fused Pallas teacher-forcing forward+backward (custom VJP);
             # 2.65x the XLA scan step on v5e at b4096 (BASELINE.md)
             pred_n = fused_tf_fn(params, cfg.model, past_n, future_n, **kwargs)
+        elif use_fused_ss:
+            # fused scheduled-sampling decoder (ops.lstm_ss)
+            pred_n = fused_ss_fn(
+                params, cfg.model, past_n, future_n,
+                rng=rng, teacher_prob=teacher_prob, **kwargs,
+            )
         else:
             pred_n = apply_fn(
                 params,
@@ -194,6 +206,7 @@ def train_loop(
     state: Optional[TrainState] = None,
     extras_fn: Optional[Callable] = None,
     fused_tf_fn: Optional[Callable] = None,
+    fused_ss_fn: Optional[Callable] = None,
 ) -> Tuple[TrainState, list]:
     """Single-device training loop (the DP loop lives in parallel.mesh).
 
@@ -202,7 +215,8 @@ def train_loop(
     """
     optimizer = make_optimizer(cfg)
     step_fn = make_train_step(
-        cfg, apply_fn, optimizer, extras_fn=extras_fn, fused_tf_fn=fused_tf_fn
+        cfg, apply_fn, optimizer, extras_fn=extras_fn,
+        fused_tf_fn=fused_tf_fn, fused_ss_fn=fused_ss_fn,
     )
     if state is None:
         state = init_state(cfg, init_fn, optimizer)

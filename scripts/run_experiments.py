@@ -76,7 +76,9 @@ def main():
             cfg = cfg.replace(batch_size=len(trd["past"]))
         extras = getattr(fam, "batch_extras", None)
         state, hist = train.train_loop(
-            cfg, fam.init, fam.apply, trd, extras_fn=extras
+            cfg, fam.init, fam.apply, trd, extras_fn=extras,
+            fused_tf_fn=getattr(fam, "apply_fused_tf", None),
+            fused_ss_fn=getattr(fam, "apply_fused_ss", None),
         )
         res = E.evaluate(state.params, cfg, fam.apply, ted, extras_fn=extras)
         pred = infer.predict_batch(

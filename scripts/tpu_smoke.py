@@ -1,0 +1,105 @@
+"""Real-TPU kernel smoke: compile+run every Pallas kernel at small shapes.
+
+Interpret mode (the CPU test suite) does not enforce Mosaic's block
+rules (e.g. sublane divisibility) or VMEM limits — run this after any
+kernel change to catch real-lowering regressions in ~1 min:
+
+    python scripts/tpu_smoke.py
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    assert jax.default_backend() == "tpu", "run on the TPU"
+    from longterm360fov_tpu.models import seq2seq as S
+    from longterm360fov_tpu.models.cell import init_lstm, lstm_cell
+    from longterm360fov_tpu.ops import conv_resize as CR
+    from longterm360fov_tpu.ops.fused_lstm import (
+        fused_decode, fused_lstm_cell, fused_serve,
+    )
+    from longterm360fov_tpu.ops.lstm_train import lstm_seq
+
+    rng = np.random.default_rng(0)
+    ok = 0
+
+    def check(name, fn, *args, ref=None, atol=2e-5):
+        nonlocal ok
+        t0 = time.time()
+        out = jax.block_until_ready(fn(*args))
+        msg = f"{name}: {time.time()-t0:.1f}s"
+        if ref is not None:
+            d = float(
+                max(
+                    jnp.abs(a - b).max()
+                    for a, b in zip(jax.tree.leaves(out), jax.tree.leaves(ref))
+                )
+            )
+            assert d < atol, f"{name} parity {d}"
+            msg += f" (maxdiff {d:.2e})"
+        print(msg, flush=True)
+        ok += 1
+
+    # cell
+    p = init_lstm(jax.random.PRNGKey(0), 3, 128)
+    x = jnp.asarray(rng.normal(size=(16, 3)).astype(np.float32))
+    st = (jnp.zeros((16, 128)), jnp.zeros((16, 128)))
+    check("fused_lstm_cell", fused_lstm_cell, p, x, st, ref=lstm_cell(p, x, st))
+
+    # decode + serve + train primitive via seq2seq
+    cfg = S.Seq2SeqConfig(d=3, hidden=128, layers=2, h_in=6, h_out=9)
+    params = S.init(jax.random.PRNGKey(1), cfg)
+    past = jnp.asarray(rng.normal(size=(16, 6, 3)).astype(np.float32) * 0.1)
+    fut = jnp.asarray(rng.normal(size=(16, 9, 3)).astype(np.float32) * 0.1)
+    ref = S.decode(params, cfg, past)
+    check(
+        "fused_decode", lambda: S.decode_fused(params, cfg, past, tile_b=8),
+        ref=ref,
+    )
+    check(
+        "fused_serve", lambda: S.serve_fused(params, cfg, past, tile_b=8),
+        ref=ref,
+    )
+    ref_tf = S.apply(params, cfg, past, fut)
+    check(
+        "apply_fused_tf",
+        lambda: S.apply_fused_tf(params, cfg, past, fut, tile_b=8),
+        ref=ref_tf, atol=3e-5,
+    )
+
+    def loss_fused(p):
+        return jnp.mean(S.apply_fused_tf(p, cfg, past, fut, tile_b=8) ** 2)
+
+    def loss_ref(p):
+        return jnp.mean(S.apply(p, cfg, past, fut) ** 2)
+
+    g_ref = jax.grad(loss_ref)(params)
+    check(
+        "lstm_train grads", jax.grad(loss_fused), params,
+        ref=g_ref, atol=5e-4,
+    )
+
+    # conv+resize
+    frames = jnp.asarray(rng.normal(size=(3, 48, 96)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(4, 3, 3)).astype(np.float32))
+    b = jnp.zeros((4,))
+    check(
+        "fused_conv_resize",
+        lambda: CR.fused_conv_resize(frames, (16, 32), k, b),
+        ref=CR.conv_resize_reference(frames, (16, 32), k, b), atol=1e-4,
+    )
+
+    print(f"ALL {ok} KERNELS OK on {jax.devices()[0].device_kind}")
+
+
+if __name__ == "__main__":
+    main()
