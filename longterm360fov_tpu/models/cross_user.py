@@ -45,18 +45,32 @@ def encode_peers(
     cfg: Seq2SeqConfig,
     other_future_n: jax.Array,  # (B, K, T, D), target-anchor normalized
     other_mask: Optional[jax.Array],  # (B, K) 1.0 = peer present
+    *,
+    use_fused_seq: bool = False,
 ) -> jax.Array:
-    """→ (B, ctx_dim) masked-mean peer embedding."""
-    cell_fn = get_cell_fn(cfg.cell)
+    """→ (B, ctx_dim) masked-mean peer embedding.
+
+    ``use_fused_seq`` routes the (B*K)-batch LSTM through the fused
+    Pallas training primitive (ops.lstm_train) — used by the fused
+    training wrappers; numerics match the scan path (parity-tested).
+    """
     b, k, t, d = other_future_n.shape
     flat = other_future_n.reshape(b * k, t, d).astype(cfg.dtype)
-    xs = jnp.swapaxes(flat, 0, 1)  # (T, B*K, D)
-    z = jnp.zeros((b * k, cfg.ctx_dim), cfg.dtype)
+    if use_fused_seq:
+        from ..ops.lstm_train import lstm_seq
 
-    def step(state, x):
-        return cell_fn(params["peer_encoder"], x, state), None
+        h = lstm_seq([params["peer_encoder"]], flat.astype(jnp.float32))[
+            :, -1, :
+        ]
+    else:
+        cell_fn = get_cell_fn(cfg.cell)
+        xs = jnp.swapaxes(flat, 0, 1)  # (T, B*K, D)
+        z = jnp.zeros((b * k, cfg.ctx_dim), cfg.dtype)
 
-    (h, _), _ = lax.scan(step, (z, z), xs)
+        def step(state, x):
+            return cell_fn(params["peer_encoder"], x, state), None
+
+        (h, _), _ = lax.scan(step, (z, z), xs)
     h = h.reshape(b, k, cfg.ctx_dim)
     if other_mask is None:
         return jnp.mean(h, axis=1)
@@ -92,6 +106,59 @@ def apply(
         rng=rng,
         teacher_prob=teacher_prob,
         context=context,
+    )
+
+
+def apply_fused_tf(
+    params: Dict,
+    cfg: Seq2SeqConfig,
+    past_n: jax.Array,
+    future_n: jax.Array,
+    *,
+    other_future_n: Optional[jax.Array] = None,
+    other_mask: Optional[jax.Array] = None,
+    context: Optional[jax.Array] = None,
+    tile_b: int = 1024,
+) -> jax.Array:
+    """Teacher-forced forward entirely on the fused Pallas primitives
+    (peer encoder included)."""
+    if context is None:
+        if other_future_n is not None:
+            context = encode_peers(
+                params, cfg, other_future_n, other_mask, use_fused_seq=True
+            )
+        else:
+            context = jnp.zeros((past_n.shape[0], cfg.ctx_dim), cfg.dtype)
+    return seq2seq.apply_fused_tf(
+        params, cfg, past_n, future_n, context=context, tile_b=tile_b
+    )
+
+
+def apply_fused_ss(
+    params: Dict,
+    cfg: Seq2SeqConfig,
+    past_n: jax.Array,
+    future_n: jax.Array,
+    *,
+    rng=None,
+    teacher_prob=1.0,
+    other_future_n: Optional[jax.Array] = None,
+    other_mask: Optional[jax.Array] = None,
+    context: Optional[jax.Array] = None,
+    tile_b: int = 1024,
+) -> jax.Array:
+    """Scheduled-sampling training forward on the fused Pallas decoder
+    (peer encoder included)."""
+    if context is None:
+        if other_future_n is not None:
+            context = encode_peers(
+                params, cfg, other_future_n, other_mask, use_fused_seq=True
+            )
+        else:
+            context = jnp.zeros((past_n.shape[0], cfg.ctx_dim), cfg.dtype)
+    return seq2seq.apply_fused_ss(
+        params, cfg, past_n, future_n, rng=rng, teacher_prob=teacher_prob,
+        context=context, tile_b=tile_b,
     )
 
 

@@ -37,7 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.cell import LSTMParams
-from .lstm_train import _pick_tile
+from .lstm_train import _auto_tile
 
 __all__ = ["ss_decode"]
 
@@ -118,7 +118,8 @@ def _forward(params, proj_w, proj_b, h0, c0, y0, teacher_tm, coins_tm,
     t_len, batch, d = teacher_tm.shape
     hidden = proj_w.shape[0]
     ctx_dim = 0 if context is None else context.shape[-1]
-    tile_b = _pick_tile(batch, tile_b)
+    tile_b = _auto_tile(batch, tile_b, n_layers, hidden, d + ctx_dim,
+                        streams=11)
     grid = (batch // tile_b, t_len)
 
     kernel = functools.partial(
@@ -316,7 +317,8 @@ def _backward(params, proj_w, proj_b, h0, c0, y0, teacher_tm, coins_tm,
     t_len, batch, d = teacher_tm.shape
     hidden = proj_w.shape[0]
     ctx_dim = 0 if context is None else context.shape[-1]
-    tile_b = _pick_tile(batch, tile_b)
+    tile_b = _auto_tile(batch, tile_b, n_layers, hidden, d + ctx_dim,
+                        streams=16)
     grid = (batch // tile_b, t_len)
 
     kernel = functools.partial(

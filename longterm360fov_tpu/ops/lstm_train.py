@@ -45,6 +45,19 @@ def _interpret() -> bool:
 
 
 
+def _auto_tile(batch: int, want: int, layers: int, hidden: int, d: int,
+               streams: int = 9) -> int:
+    """VMEM-aware batch tile: the pipelined per-step blocks (double-
+    buffered activations/gates/residual streams) must fit the ~16MB
+    VMEM with headroom. ``streams`` ~ per-row f32 words per layer-hidden
+    (9 covers the fwd/bwd residual set of lstm_train; lstm_ss uses 11).
+    """
+    budget = 12 * 1024 * 1024
+    bytes_per_row = 8 * (2 * d + streams * layers * hidden)
+    rows = max(budget // bytes_per_row, 128)
+    return _pick_tile(batch, min(want, int(rows)))
+
+
 def _pick_tile(batch: int, want: int) -> int:
     """Largest legal batch tile ≤ want: Mosaic requires a block's lane
     dim to be 128-divisible OR equal to the full array dim, so a partial
@@ -121,7 +134,7 @@ def _forward(params: Sequence[LSTMParams], xs: jax.Array,
     n_layers = len(params)
     batch, t_len, d = xs.shape
     hidden = params[0].w.shape[1] // 4
-    tile_b = _pick_tile(batch, tile_b)
+    tile_b = _auto_tile(batch, tile_b, n_layers, hidden, d)
     grid = (batch // tile_b, t_len)
 
     kernel = functools.partial(
@@ -317,7 +330,7 @@ def _backward(
     n_layers = len(params)
     batch, t_len, d = xs.shape
     hidden = params[0].w.shape[1] // 4
-    tile_b = _pick_tile(batch, tile_b)
+    tile_b = _auto_tile(batch, tile_b, n_layers, hidden, d, streams=14)
     grid = (batch // tile_b, t_len)
 
     kernel = functools.partial(
