@@ -27,6 +27,7 @@ class ExperimentConfig:
     # -- training ----------------------------------------------------------
     batch_size: int = 128
     lr: float = 1e-3
+    warmup_steps: int = 0  # >0: linear warmup + cosine decay to lr/10
     grad_clip: float = 1.0
     steps: int = 2000
     eval_every: int = 200
@@ -101,6 +102,8 @@ def _presets() -> Dict[str, ExperimentConfig]:
             name="transformer-10s",
             model=Seq2SeqConfig(d=3, hidden=128, layers=4, h_in=100, h_out=100),
             model_family="transformer",
+            lr=3e-4,
+            warmup_steps=200,
         ),
     }
 

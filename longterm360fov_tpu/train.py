@@ -39,9 +39,19 @@ class TrainState(NamedTuple):
 
 
 def make_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
+    if cfg.warmup_steps > 0:
+        sched = optax.warmup_cosine_decay_schedule(
+            init_value=cfg.lr / 100.0,
+            peak_value=cfg.lr,
+            warmup_steps=cfg.warmup_steps,
+            decay_steps=max(cfg.steps, cfg.warmup_steps + 1),
+            end_value=cfg.lr / 10.0,
+        )
+    else:
+        sched = cfg.lr
     return optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
-        optax.adam(cfg.lr),
+        optax.adam(sched),
     )
 
 

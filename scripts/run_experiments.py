@@ -39,28 +39,29 @@ def main():
     results = {}
     log_fh = open(args.log, "a")
 
-    # non-learned baselines on the 30-frame horizon
-    tr30, te30 = D.windows_from_store(store, 30, 30, train_frac=0.8)
-    for name, fn in (
-        ("persistence", lambda p: baselines.persistence(p, 30)),
-        ("linreg-5", lambda p: baselines.truncated_linreg(p, 30, fit_len=5)),
-    ):
-        pred = np.asarray(fn(jnp.asarray(te30["past"])))
-        res = E.evaluate_predictions(pred, te30["future"])
-        hit, tiles = infer.prefetch_accuracy(
-            jnp.asarray(pred), jnp.asarray(te30["future"])
-        )
-        res.update(hit_rate=float(hit), tiles_per_frame=float(tiles))
-        results[name] = res
-        print(name, round(res["mean_deg"], 2), flush=True)
-        log_fh.write(json.dumps({"name": name, **res}) + "\n")
-        log_fh.flush()
+    # non-learned baselines at the 30- and 100-frame horizons
+    for horizon in (30, 100):
+        _, teh = D.windows_from_store(store, horizon, horizon, train_frac=0.8)
+        for name, fn in (
+            (f"persistence@{horizon}",
+             lambda p, h=horizon: baselines.persistence(p, h)),
+            (f"linreg-5@{horizon}",
+             lambda p, h=horizon: baselines.truncated_linreg(p, h, fit_len=5)),
+        ):
+            pred = np.asarray(fn(jnp.asarray(teh["past"])))
+            res = E.evaluate_predictions(pred, teh["future"])
+            hit, tiles = infer.prefetch_accuracy(
+                jnp.asarray(pred), jnp.asarray(teh["future"])
+            )
+            res.update(hit_rate=float(hit), tiles_per_frame=float(tiles))
+            results[name] = res
+            print(name, round(res["mean_deg"], 2), flush=True)
+            log_fh.write(json.dumps({"name": name, **res}) + "\n")
+            log_fh.flush()
 
     for preset_name, cfg in PRESETS.items():
         t0 = time.time()
-        steps = args.steps if cfg.model_family != "transformer" else max(
-            args.steps // 2, 200
-        )
+        steps = args.steps
         cfg = cfg.replace(steps=steps, eval_every=steps)
         fam = get_family(cfg.model_family)
         n_peers = (
