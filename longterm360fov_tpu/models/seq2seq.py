@@ -316,12 +316,13 @@ def serve_fused(
     cfg: Seq2SeqConfig,
     past_n: jax.Array,
     *,
+    context: Optional[jax.Array] = None,
     tile_b: int = 2048,
 ) -> jax.Array:
     """Whole-request fused serve: encoder AND decoder in one Pallas
     kernel (ops.fused_lstm.fused_serve) — the fastest single-chip path
     measured (5.1M traj/s @ b16384 on v5e vs 3.9M for the XLA scan;
-    BASELINE.md). No context fusion (plain seq2seq serving config)."""
+    BASELINE.md). Supports per-viewer context (cross-user / fusion)."""
     from ..ops.fused_lstm import fused_serve
 
     return fused_serve(
@@ -331,6 +332,7 @@ def serve_fused(
         params["proj"]["b"],
         past_n,
         cfg.h_out,
+        context=context,
         tile_b=min(tile_b, past_n.shape[0]),
     )
 

@@ -303,27 +303,31 @@ def _serve_kernel(
     t_out: int,
     hidden: int,
     d: int,
+    ctx_dim: int,
     tile_b: int,
     compute_dtype,
 ):
     """refs layout:
-    inputs:  xs (D, T_in, B) past window,
+    inputs:  xs (D, T_in, B) past window, [ctx (B, C)],
              w_enc_l ((in_l+H), 4H) x L, b_enc_l (1, 4H) x L,
              w_dec_l ((in_l+H), 4H) x L, b_dec_l (1, 4H) x L,
              proj_w (H, D), proj_b (1, D)
     outputs: ys (D, T_out, B)
     scratch: z_l (B, in_l+H) x L   packed [x_or_y, h] per layer,
-             c   (L, B, H)        cell states (f32)
+             [z0d (B, d+C+H)]      decoder layer-0 buffer when ctx,
+             c   (L, B, H)         cell states (f32)
 
     One fused matmul per layer per step: gates = z_l @ W_l. The packed
     z buffer holds the step input in its first in_l lanes and the
     hidden state in the rest, so there is no concat and no separate
     x/h matmuls. Everything (weights, states, feedback) stays in VMEM
     for the whole request; HBM sees the past window once in and the
-    trajectory once out.
+    trajectory once out. Context (cross-user / video features) occupies
+    static lanes of the decoder layer-0 buffer, written once.
     """
     it = iter(refs)
     xs_ref = next(it)
+    ctx_ref = next(it) if ctx_dim else None
     w_enc = [next(it) for _ in range(n_layers)]
     b_enc = [next(it) for _ in range(n_layers)]
     w_dec = [next(it) for _ in range(n_layers)]
@@ -332,18 +336,18 @@ def _serve_kernel(
     pb_ref = next(it)
     ys_ref = next(it)
     z_s = [next(it) for _ in range(n_layers)]
+    z0d = next(it) if ctx_dim else z_s[0]
     c_s = next(it)
 
     for l in range(n_layers):
         z_s[l][:] = jnp.zeros_like(z_s[l])
     c_s[:] = jnp.zeros_like(c_s)
 
-    def cell(l, w_refs, b_refs):
-        in_l = d if l == 0 else hidden
+    def cell(buf, l, in_l, w_refs, b_refs):
         # weights arrive pre-cast to compute_dtype (cast hoisted out of
         # the kernel — an in-loop cast would re-convert every step)
         gates = (
-            jnp.dot(z_s[l][:], w_refs[l][:],
+            jnp.dot(buf[:], w_refs[l][:],
                     preferred_element_type=jnp.float32)
             + b_refs[l][:]
         )
@@ -354,7 +358,7 @@ def _serve_kernel(
         c_new = f * c_s[l] + i * g
         h_new = o * jnp.tanh(c_new)
         c_s[l] = c_new
-        z_s[l][:, in_l:] = h_new.astype(z_s[l].dtype)
+        buf[:, in_l:] = h_new.astype(buf.dtype)
         return h_new
 
     def enc_step(t, _):
@@ -363,28 +367,36 @@ def _serve_kernel(
         for l in range(n_layers):
             in_l = d if l == 0 else hidden
             z_s[l][:, :in_l] = inp.astype(z_s[l].dtype)
-            inp = cell(l, w_enc, b_enc)
+            inp = cell(z_s[l], l, in_l, w_enc, b_enc)
         return 0
 
     lax.fori_loop(0, t_in, enc_step, 0)
 
     # decoder starts from the last observed position
     y0 = xs_ref[:, pl.ds(t_in - 1, 1), :][:, 0, :].T  # (tile_b, d)
-    z_s[0][:, :d] = y0.astype(z_s[0].dtype)
+    dec_in0 = d + ctx_dim
+    if ctx_dim:
+        # layer-0 decoder buffer: [y, ctx, h]; ctx static, h seeded from
+        # the encoder's final layer-0 hidden state
+        z0d[:, d:dec_in0] = ctx_ref[:].astype(z0d.dtype)
+        z0d[:, dec_in0:] = z_s[0][:, d:]
+    z0d[:, :d] = y0.astype(z0d.dtype)
 
     def dec_step(t, _):
         inp = None
         for l in range(n_layers):
-            if l > 0:
+            if l == 0:
+                inp = cell(z0d, 0, dec_in0, w_dec, b_dec)
+            else:
                 z_s[l][:, :hidden] = inp.astype(z_s[l].dtype)
-            inp = cell(l, w_dec, b_dec)
+                inp = cell(z_s[l], l, hidden, w_dec, b_dec)
         y = (
             jnp.dot(inp.astype(compute_dtype), pw_ref[:],
                     preferred_element_type=jnp.float32)
             + pb_ref[:]
         )
         ys_ref[:, pl.ds(t, 1), :] = y.T[:, None, :].astype(ys_ref.dtype)
-        z_s[0][:, :d] = y.astype(z_s[0].dtype)
+        z0d[:, :d] = y.astype(z0d.dtype)
         return 0
 
     lax.fori_loop(0, t_out, dec_step, 0)
@@ -398,6 +410,7 @@ def fused_serve(
     past_n: jax.Array,  # (B, T_in, D) anchor-normalized past windows
     t_out: int,
     *,
+    context=None,  # (B, C) per-viewer context (decoder layer-0 lanes)
     tile_b: int = 2048,
     compute_dtype=jnp.float32,
 ) -> jax.Array:
@@ -415,6 +428,7 @@ def fused_serve(
     n_layers = len(enc_params)
     batch, t_in, d = past_n.shape
     hidden = proj_w.shape[0]
+    ctx_dim = 0 if context is None else context.shape[-1]
     tile_b = _pick_tile(batch, tile_b)
     grid = (batch // tile_b,)
 
@@ -428,6 +442,7 @@ def fused_serve(
         t_out=t_out,
         hidden=hidden,
         d=d,
+        ctx_dim=ctx_dim,
         tile_b=tile_b,
         compute_dtype=compute_dtype,
     )
@@ -437,6 +452,12 @@ def fused_serve(
                      memory_space=pltpu.VMEM),
     ]
     inputs = [xs]
+    if ctx_dim:
+        in_specs.append(
+            pl.BlockSpec((tile_b, ctx_dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        inputs.append(context.astype(jnp.float32))
     # kernel ordering: enc weights, enc biases, dec weights, dec biases
     for plist in (enc_params, dec_params):
         for p in plist:
@@ -465,6 +486,10 @@ def fused_serve(
     for l in range(n_layers):
         in_l = d if l == 0 else hidden
         scratch.append(pltpu.VMEM((tile_b, in_l + hidden), z_dtype))
+    if ctx_dim:
+        scratch.append(
+            pltpu.VMEM((tile_b, d + ctx_dim + hidden), z_dtype)
+        )
     scratch.append(pltpu.VMEM((n_layers, tile_b, hidden), jnp.float32))
 
     ys = pl.pallas_call(

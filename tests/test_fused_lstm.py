@@ -124,3 +124,28 @@ def test_fused_serve_bf16_close():
     )
     # bf16 rollout drifts but must stay close on short horizons
     assert float(jnp.abs(out - ref).max()) < 0.05
+
+
+def test_fused_serve_with_context_parity():
+    from longterm360fov_tpu.ops.fused_lstm import fused_serve
+
+    for layers in (1, 2):
+        cfg = S.Seq2SeqConfig(
+            d=3, hidden=128, layers=layers, h_in=5, h_out=7, ctx_dim=8
+        )
+        params = S.init(jax.random.PRNGKey(40 + layers), cfg)
+        rng = np.random.default_rng(layers)
+        past_n = jnp.asarray(
+            rng.normal(size=(8, 5, 3)).astype(np.float32) * 0.1
+        )
+        ctx = jnp.asarray(rng.normal(size=(8, 8)).astype(np.float32))
+        ref = S.decode(params, cfg, past_n, context=ctx)
+        out = fused_serve(
+            params["encoder"], params["decoder"],
+            params["proj"]["w"], params["proj"]["b"],
+            past_n, cfg.h_out, context=ctx, tile_b=8,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5,
+            err_msg=f"fused_serve ctx mismatch layers={layers}",
+        )
