@@ -98,9 +98,11 @@ def _fwd_kernel(*refs, n_layers, hidden, d, ctx_dim, tile_b):
         o = jax.nn.sigmoid(gates[:, 3 * hidden :])
         c_new = f * c_s[l] + i * g
         h_new = o * jnp.tanh(c_new)
-        gs[l][0] = jnp.concatenate([i, f, g, o], axis=-1)
-        cs[l][0] = c_new
-        hs[l][0] = h_new
+        gs[l][0] = jnp.concatenate([i, f, g, o], axis=-1).astype(
+            gs[l].dtype
+        )
+        cs[l][0] = c_new.astype(cs[l].dtype)
+        hs[l][0] = h_new.astype(hs[l].dtype)
         h_s[l] = h_new
         c_s[l] = c_new
         inp = h_new
@@ -113,7 +115,7 @@ def _fwd_kernel(*refs, n_layers, hidden, d, ctx_dim, tile_b):
 
 
 def _forward(params, proj_w, proj_b, h0, c0, y0, teacher_tm, coins_tm,
-             context, tile_b):
+             context, tile_b, residual_dtype=jnp.float32):
     n_layers = len(params)
     t_len, batch, d = teacher_tm.shape
     hidden = proj_w.shape[0]
@@ -155,10 +157,11 @@ def _forward(params, proj_w, proj_b, h0, c0, y0, teacher_tm, coins_tm,
     inputs += [proj_w, proj_b.reshape(1, -1)]
 
     sd = jax.ShapeDtypeStruct
+    rd = residual_dtype
     out_shape = (
-        [sd((t_len, batch, d), jnp.float32)]
-        + [sd((t_len, batch, hidden), jnp.float32)] * (2 * n_layers)
-        + [sd((t_len, batch, 4 * hidden), jnp.float32)] * n_layers
+        [sd((t_len, batch, d), jnp.float32)]  # ys stay f32 (primal out)
+        + [sd((t_len, batch, hidden), rd)] * (2 * n_layers)
+        + [sd((t_len, batch, 4 * hidden), rd)] * n_layers
     )
     out_specs = (
         [step(d)] + [step(hidden)] * (2 * n_layers) + [step(4 * hidden)] * n_layers
@@ -242,7 +245,7 @@ def _bwd_kernel(*refs, n_layers, hidden, d, ctx_dim, tile_b, t_len):
 
     # total grad of y_t: upstream + feedback from step t+1
     dy_t = dys_ref[0] + dy_s[:]
-    h_top = hs[n_layers - 1][0]
+    h_top = hs[n_layers - 1][0].astype(jnp.float32)
     dpw_ref[:] += jnp.dot(h_top.T, dy_t, preferred_element_type=jnp.float32)
     dpb_ref[0, :] += jnp.sum(dy_t, axis=0)
     d_from_above = jnp.dot(
@@ -255,14 +258,18 @@ def _bwd_kernel(*refs, n_layers, hidden, d, ctx_dim, tile_b, t_len):
 
     for l in range(n_layers - 1, -1, -1):
         d_in = (d + ctx_dim) if l == 0 else hidden
-        g_all = gs[l][0]
+        g_all = gs[l][0].astype(jnp.float32)
         i = g_all[:, :hidden]
         f = g_all[:, hidden : 2 * hidden]
         g = g_all[:, 2 * hidden : 3 * hidden]
         o = g_all[:, 3 * hidden :]
-        c_t = cs[l][0]
-        c_prev = jnp.where(is_first_step, c0_ref[l], cs_prev[l][0])
-        h_prev = jnp.where(is_first_step, h0_ref[l], hs_prev[l][0])
+        c_t = cs[l][0].astype(jnp.float32)
+        c_prev = jnp.where(
+            is_first_step, c0_ref[l], cs_prev[l][0].astype(jnp.float32)
+        )
+        h_prev = jnp.where(
+            is_first_step, h0_ref[l], hs_prev[l][0].astype(jnp.float32)
+        )
 
         dh_total = d_from_above + dh_s[l]
         tanh_c = jnp.tanh(c_t)
@@ -280,8 +287,10 @@ def _bwd_kernel(*refs, n_layers, hidden, d, ctx_dim, tile_b, t_len):
             else:
                 inp_t = x_t
         else:
-            g_lm1 = gs[l - 1][0]
-            inp_t = g_lm1[:, 3 * hidden :] * jnp.tanh(cs[l - 1][0])
+            g_lm1 = gs[l - 1][0].astype(jnp.float32)
+            inp_t = g_lm1[:, 3 * hidden :] * jnp.tanh(
+                cs[l - 1][0].astype(jnp.float32)
+            )
 
         dw_out[l][:d_in, :] += jnp.dot(
             inp_t.T, dgates, preferred_element_type=jnp.float32
@@ -417,7 +426,7 @@ def _backward(params, proj_w, proj_b, h0, c0, y0, teacher_tm, coins_tm,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
 def ss_decode(
     dec_params: Sequence[LSTMParams],
     proj_w: jax.Array,
@@ -428,29 +437,30 @@ def ss_decode(
     teacher_tm: jax.Array,  # (T, B, D) time-major teacher inputs
     coins_ctx: tuple,  # (coins (T, B, 1), context (B, C) or None)
     tile_b: int = 1024,
+    residual_dtype=jnp.float32,
 ):
     """Scheduled-sampling decoder → (B, T, D) predictions."""
     coins_tm, context = coins_ctx
     ys, _, _, _ = _forward(
         list(dec_params), proj_w, proj_b, h0, c0, y0, teacher_tm,
-        coins_tm, context, tile_b,
+        coins_tm, context, tile_b, residual_dtype,
     )
     return jnp.swapaxes(ys, 0, 1)
 
 
 def _vjp_fwd(dec_params, proj_w, proj_b, h0, c0, y0, teacher_tm,
-             coins_ctx, tile_b):
+             coins_ctx, tile_b, residual_dtype):
     coins_tm, context = coins_ctx
     ys, hs, cs, gs = _forward(
         list(dec_params), proj_w, proj_b, h0, c0, y0, teacher_tm,
-        coins_tm, context, tile_b,
+        coins_tm, context, tile_b, residual_dtype,
     )
     res = (tuple(dec_params), proj_w, proj_b, h0, c0, y0, teacher_tm,
            coins_tm, context, ys, tuple(hs), tuple(cs), tuple(gs))
     return jnp.swapaxes(ys, 0, 1), res
 
 
-def _vjp_bwd(tile_b, res, dys):
+def _vjp_bwd(tile_b, residual_dtype, res, dys):
     (params, proj_w, proj_b, h0, c0, y0, teacher_tm, coins_tm, context,
      ys, hs, cs, gs) = res
     dys_tm = jnp.swapaxes(dys, 0, 1)

@@ -121,16 +121,19 @@ def _fwd_kernel(*refs, n_layers, hidden, d, tile_b):
         o = jax.nn.sigmoid(gates[:, 3 * hidden :])
         c_new = f * c_s[l] + i * g
         h_new = o * jnp.tanh(c_new)
-        gs[l][0] = jnp.concatenate([i, f, g, o], axis=-1)
-        cs[l][0] = c_new
-        hs[l][0] = h_new
+        gs[l][0] = jnp.concatenate([i, f, g, o], axis=-1).astype(
+            gs[l].dtype
+        )
+        cs[l][0] = c_new.astype(cs[l].dtype)
+        hs[l][0] = h_new.astype(hs[l].dtype)
         h_s[l] = h_new
         c_s[l] = c_new
         inp = h_new
 
 
 def _forward(params: Sequence[LSTMParams], xs: jax.Array,
-             h0: jax.Array, c0: jax.Array, tile_b: int):
+             h0: jax.Array, c0: jax.Array, tile_b: int,
+             residual_dtype=jnp.float32):
     n_layers = len(params)
     batch, t_len, d = xs.shape
     hidden = params[0].w.shape[1] // 4
@@ -173,10 +176,13 @@ def _forward(params: Sequence[LSTMParams], xs: jax.Array,
     blk_g = pl.BlockSpec((1, tile_b, 4 * hidden), lambda i, t: (t, i, 0),
                          memory_space=pltpu.VMEM)
     sd = jax.ShapeDtypeStruct
+    # residual streams (read back by the backward kernel) may be bf16:
+    # they are HBM-bandwidth-bound, and the backward math upcasts to f32
+    rd = residual_dtype
     out_shape = (
-        [sd((t_len, batch, hidden), jnp.float32) for _ in range(n_layers)]
-        + [sd((t_len, batch, hidden), jnp.float32) for _ in range(n_layers)]
-        + [sd((t_len, batch, 4 * hidden), jnp.float32) for _ in range(n_layers)]
+        [sd((t_len, batch, hidden), rd) for _ in range(n_layers)]
+        + [sd((t_len, batch, hidden), rd) for _ in range(n_layers)]
+        + [sd((t_len, batch, 4 * hidden), rd) for _ in range(n_layers)]
     )
     out_specs = (
         [blk_h] * n_layers + [blk_h] * n_layers + [blk_g] * n_layers
@@ -259,14 +265,18 @@ def _bwd_kernel(*refs, n_layers, hidden, d, tile_b, t_len):
     d_from_above = dhs_ref[0]
     for l in range(n_layers - 1, -1, -1):
         d_in = d if l == 0 else hidden
-        g_all = gs[l][0]
+        g_all = gs[l][0].astype(jnp.float32)
         i = g_all[:, :hidden]
         f = g_all[:, hidden : 2 * hidden]
         g = g_all[:, 2 * hidden : 3 * hidden]
         o = g_all[:, 3 * hidden :]
-        c_t = cs[l][0]
-        c_prev = jnp.where(is_first_step, c0_ref[l], cs_prev[l][0])
-        h_prev = jnp.where(is_first_step, h0_ref[l], hs_prev[l][0])
+        c_t = cs[l][0].astype(jnp.float32)
+        c_prev = jnp.where(
+            is_first_step, c0_ref[l], cs_prev[l][0].astype(jnp.float32)
+        )
+        h_prev = jnp.where(
+            is_first_step, h0_ref[l], hs_prev[l][0].astype(jnp.float32)
+        )
 
         dh_total = d_from_above + dh_s[l]
         tanh_c = jnp.tanh(c_t)
@@ -285,9 +295,9 @@ def _bwd_kernel(*refs, n_layers, hidden, d, tile_b, t_len):
         if l == 0:
             inp_t = xs_ref[0]
         else:
-            g_lm1 = gs[l - 1][0]
+            g_lm1 = gs[l - 1][0].astype(jnp.float32)
             o_lm1 = g_lm1[:, 3 * hidden :]
-            inp_t = o_lm1 * jnp.tanh(cs[l - 1][0])
+            inp_t = o_lm1 * jnp.tanh(cs[l - 1][0].astype(jnp.float32))
 
         dw_out[l][:d_in, :] += jnp.dot(
             inp_t.T, dgates, preferred_element_type=jnp.float32
@@ -420,35 +430,36 @@ def _backward(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def lstm_seq_states(
     params: Sequence[LSTMParams],
     xs: jax.Array,
     h0: jax.Array,
     c0: jax.Array,
     tile_b: int = 1024,
+    residual_dtype=jnp.float32,
 ):
     """Stacked LSTM over a known sequence from initial states (L, B, H).
 
     → (hs_top (B, T, H), hT (L, B, H), cT (L, B, H)). Differentiable
     w.r.t. params, xs, h0, c0 via fused Pallas forward/backward kernels.
     """
-    hs, cs, _ = _forward(params, xs, h0, c0, tile_b)
-    hT = jnp.stack([h[-1] for h in hs])
-    cT = jnp.stack([c[-1] for c in cs])
-    return jnp.swapaxes(hs[-1], 0, 1), hT, cT
+    hs, cs, _ = _forward(params, xs, h0, c0, tile_b, residual_dtype)
+    hT = jnp.stack([h[-1] for h in hs]).astype(jnp.float32)
+    cT = jnp.stack([c[-1] for c in cs]).astype(jnp.float32)
+    return jnp.swapaxes(hs[-1], 0, 1).astype(jnp.float32), hT, cT
 
 
-def _vjp_fwd(params, xs, h0, c0, tile_b):
-    hs, cs, gs = _forward(params, xs, h0, c0, tile_b)
-    hT = jnp.stack([h[-1] for h in hs])
-    cT = jnp.stack([c[-1] for c in cs])
-    return (jnp.swapaxes(hs[-1], 0, 1), hT, cT), (
+def _vjp_fwd(params, xs, h0, c0, tile_b, residual_dtype):
+    hs, cs, gs = _forward(params, xs, h0, c0, tile_b, residual_dtype)
+    hT = jnp.stack([h[-1] for h in hs]).astype(jnp.float32)
+    cT = jnp.stack([c[-1] for c in cs]).astype(jnp.float32)
+    return (jnp.swapaxes(hs[-1], 0, 1).astype(jnp.float32), hT, cT), (
         tuple(params), xs, h0, c0, tuple(hs), tuple(cs), tuple(gs)
     )
 
 
-def _vjp_bwd(tile_b, residuals, cts):
+def _vjp_bwd(tile_b, residual_dtype, residuals, cts):
     dhs_top, dhT, dcT = cts
     params, xs, h0, c0, hs, cs, gs = residuals
     n_layers = len(params)

@@ -34,7 +34,8 @@ def test_ss_forward_parity(layers, ctx_dim):
     cfg, params, past, fut, coins, ctx = _setup(layers, ctx_dim)
     ref = S.apply(params, cfg, past, fut, coins=coins, context=ctx)
     out = S.apply_fused_ss(
-        params, cfg, past, fut, coins=coins, context=ctx, tile_b=8
+        params, cfg, past, fut, coins=coins, context=ctx, tile_b=8,
+        residual_dtype=jnp.float32,
     )
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=3e-5,
@@ -52,7 +53,8 @@ def test_ss_grad_parity(layers, ctx_dim):
 
     def loss_fused(p, past, fut, ctx):
         out = S.apply_fused_ss(
-            p, cfg, past, fut, coins=coins, context=ctx, tile_b=8
+            p, cfg, past, fut, coins=coins, context=ctx, tile_b=8,
+            residual_dtype=jnp.float32,
         )
         return jnp.mean((out - fut) ** 2)
 
@@ -71,13 +73,19 @@ def test_ss_grad_parity(layers, ctx_dim):
 def test_ss_coin_extremes_match_tf_and_ar():
     cfg, params, past, fut, _, _ = _setup(1, 0, seed=2)
     ones = jnp.ones((cfg.h_out, 8, 1))
-    out_tf = S.apply_fused_ss(params, cfg, past, fut, coins=ones, tile_b=8)
+    out_tf = S.apply_fused_ss(
+        params, cfg, past, fut, coins=ones, tile_b=8,
+        residual_dtype=jnp.float32,
+    )
     ref_tf = S.apply(params, cfg, past, fut)
     np.testing.assert_allclose(
         np.asarray(out_tf), np.asarray(ref_tf), atol=3e-5
     )
     zeros = jnp.zeros((cfg.h_out, 8, 1))
-    out_ar = S.apply_fused_ss(params, cfg, past, fut, coins=zeros, tile_b=8)
+    out_ar = S.apply_fused_ss(
+        params, cfg, past, fut, coins=zeros, tile_b=8,
+        residual_dtype=jnp.float32,
+    )
     ref_ar = S.decode(params, cfg, past)
     np.testing.assert_allclose(
         np.asarray(out_ar), np.asarray(ref_ar), atol=3e-5

@@ -114,7 +114,10 @@ def test_apply_fused_tf_parity_and_grads():
         )
 
         ref = S.apply(params, cfg, past, fut, context=ctx)
-        out = S.apply_fused_tf(params, cfg, past, fut, context=ctx, tile_b=8)
+        out = S.apply_fused_tf(
+            params, cfg, past, fut, context=ctx, tile_b=8,
+            residual_dtype=jnp.float32,
+        )
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), atol=3e-5,
             err_msg=f"fused tf fwd mismatch layers={layers} ctx={ctx_dim}",
@@ -125,7 +128,10 @@ def test_apply_fused_tf_parity_and_grads():
 
         def loss_fused(p):
             return jnp.mean(
-                (S.apply_fused_tf(p, cfg, past, fut, context=ctx, tile_b=8) - fut) ** 2
+                (S.apply_fused_tf(
+                    p, cfg, past, fut, context=ctx, tile_b=8,
+                    residual_dtype=jnp.float32,
+                ) - fut) ** 2
             )
 
         g_ref = jax.grad(loss_ref)(params)
@@ -160,3 +166,32 @@ def test_train_loop_fused_impl():
         cfg, S.init, S.apply, data, fused_tf_fn=S.apply_fused_tf
     )
     assert np.isfinite(hist[-1]["loss"])
+
+
+def test_apply_fused_tf_bf16_residuals_close():
+    """Default bf16 residual streams: values close, grads close in a
+    relative sense (residuals are bandwidth optimization, not math)."""
+    from longterm360fov_tpu.models import seq2seq as S
+
+    cfg = S.Seq2SeqConfig(d=3, hidden=128, layers=1, h_in=5, h_out=6)
+    params = S.init(jax.random.PRNGKey(9), cfg)
+    rng = np.random.default_rng(9)
+    past = jnp.asarray(rng.normal(size=(8, 5, 3)).astype(np.float32) * 0.3)
+    fut = jnp.asarray(rng.normal(size=(8, 6, 3)).astype(np.float32) * 0.3)
+    ref = S.apply(params, cfg, past, fut)
+    out = S.apply_fused_tf(params, cfg, past, fut, tile_b=8)  # bf16 default
+    assert float(jnp.abs(out - ref).max()) < 2e-2
+
+    def loss(p):
+        return jnp.mean((S.apply_fused_tf(p, cfg, past, fut, tile_b=8) - fut) ** 2)
+
+    def loss_ref(p):
+        return jnp.mean((S.apply(p, cfg, past, fut) - fut) ** 2)
+
+    g = jax.grad(loss)(params)
+    g_ref = jax.grad(loss_ref)(params)
+    for a, b_ in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g)):
+        scale = max(float(jnp.abs(a).max()), 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(b_), np.asarray(a), atol=2e-2 * scale
+        )
