@@ -21,26 +21,43 @@ __all__ = ["Checkpointer"]
 
 
 class Checkpointer:
-    def __init__(self, directory: str, cfg: ExperimentConfig, keep: int = 3):
+    def __init__(
+        self,
+        directory: str,
+        cfg: ExperimentConfig,
+        keep: int = 3,
+        best_metric: Optional[str] = None,
+        best_mode: str = "min",
+    ):
+        """``best_metric``: retain the ``keep`` checkpoints with the best
+        value of that metrics key (e.g. "eval_great_circle_deg") instead
+        of the most recent — pass the metrics dict to :meth:`save`."""
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self.cfg = cfg
+        self.best_metric = best_metric
+        opts = dict(max_to_keep=keep, create=True)
+        if best_metric is not None:
+            opts.update(
+                best_fn=lambda m: m[best_metric], best_mode=best_mode
+            )
         self.manager = ocp.CheckpointManager(
-            self.directory,
-            options=ocp.CheckpointManagerOptions(
-                max_to_keep=keep, create=True
-            ),
+            self.directory, options=ocp.CheckpointManagerOptions(**opts)
         )
         meta_path = os.path.join(self.directory, "config.json")
         if not os.path.exists(meta_path):
             with open(meta_path, "w") as f:
                 json.dump({"name": cfg.name, "hash": cfg.hash()}, f)
 
-    def save(self, state: TrainState) -> None:
+    def save(self, state: TrainState, metrics: Optional[dict] = None) -> None:
         self.manager.save(
-            int(state.step), args=ocp.args.StandardSave(state)
+            int(state.step), args=ocp.args.StandardSave(state),
+            metrics=metrics,
         )
         self.manager.wait_until_finished()
+
+    def best_step(self) -> Optional[int]:
+        return self.manager.best_step()
 
     def latest_step(self) -> Optional[int]:
         return self.manager.latest_step()

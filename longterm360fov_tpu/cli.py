@@ -63,6 +63,10 @@ def _build_parser() -> argparse.ArgumentParser:
     sb.add_argument("--preset", default="seq2seq-tf-30")
     sb.add_argument("--batch", type=int, default=4096)
     sb.add_argument("--iters", type=int, default=30)
+    sb.add_argument(
+        "--impl", default="xla", choices=("xla", "fused"),
+        help="fused = whole-request Pallas serve kernel (LSTM families)",
+    )
 
     sv = sub.add_parser(
         "serve", help="streaming-prefetch simulation: hit rate + bandwidth"
@@ -260,7 +264,9 @@ def cmd_serve_bench(args):
     past = rng.normal(size=(args.batch, cfg.model.h_in, 3)).astype(np.float32)
     past /= np.linalg.norm(past, axis=-1, keepdims=True)
     past = jnp.asarray(past)
-    serve = infer.make_predict_fn(params, cfg, fam.apply, with_tiles=True)
+    serve = infer.make_predict_fn(
+        params, cfg, fam.apply, with_tiles=True, impl=args.impl
+    )
     t0 = time.time()
     jax.block_until_ready(serve(past))
     print(f"compile {time.time()-t0:.1f}s", file=sys.stderr)

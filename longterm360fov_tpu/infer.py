@@ -27,6 +27,12 @@ from .config import ExperimentConfig
 __all__ = ["predict_batch", "predict_euler", "tiles_for_fov", "make_predict_fn"]
 
 
+def default_extras_ref():
+    from .train import default_extras
+
+    return default_extras
+
+
 def _forward(params, cfg: ExperimentConfig, apply_fn, batch, extras_fn=None):
     """Shared decode core: raw past windows (+family extras) → predicted
     xyz on the sphere. ``batch`` is {"past": (B,H_in,3), ...extras}."""
@@ -69,18 +75,36 @@ def predict_euler(
 def make_predict_fn(
     params, cfg: ExperimentConfig, apply_fn, *, with_tiles: bool = False,
     tile_rows: int = 6, tile_cols: int = 12, fov_deg: float = 90.0,
-    extras_fn=None,
+    extras_fn=None, impl: str = "xla",
 ) -> Callable:
     """Close over params/config → a single jitted serving function.
 
     Used by the benchmark and the serve path so params upload once and
-    every call is pure dispatch.
+    every call is pure dispatch. ``impl="fused"`` runs the whole request
+    through the fused Pallas serve kernel (LSTM families; fastest tier,
+    BASELINE.md) — context comes from the family's batch extras when the
+    batch provides it.
     """
 
     def serve(past, context=None):
-        xyz = _forward(
-            params, cfg, apply_fn, _as_batch(past, context), extras_fn
-        )
+        if impl == "fused":
+            from . import windows as W
+            from .models import seq2seq as S
+
+            batch = _as_batch(past, context)
+            past_n, _, anchor = W.normalize_window(batch["past"])
+            kwargs = (extras_fn or default_extras_ref())(batch, anchor)
+            xyz = W.denormalize_window(
+                S.serve_fused(
+                    params, cfg.model, past_n,
+                    context=kwargs.get("context"),
+                ),
+                anchor, to_sphere=True,
+            )
+        else:
+            xyz = _forward(
+                params, cfg, apply_fn, _as_batch(past, context), extras_fn
+            )
         if not with_tiles:
             return xyz
         return xyz, tiles_for_fov(

@@ -269,7 +269,7 @@ def train_loop(
                 log_fh.write(json.dumps(m) + "\n")
                 log_fh.flush()
         if ckpt and ((i + 1) % cfg.ckpt_every == 0 or i + 1 == cfg.steps):
-            ckpt.save(state)
+            ckpt.save(state, metrics=history[-1] if history else None)
     if log_fh:
         log_fh.close()
     return state, history

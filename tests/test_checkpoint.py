@@ -1,6 +1,7 @@
 """Checkpoint/resume determinism (SURVEY.md §5)."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from longterm360fov_tpu import checkpoint as C
@@ -57,3 +58,19 @@ def test_resume_is_deterministic(tmp_path):
         jax.tree.leaves(state_full.params), jax.tree.leaves(state_resumed.params)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_best_by_metric_retention(tmp_path):
+    cfg = _small_cfg()
+    opt = T.make_optimizer(cfg)
+    ckpt = C.Checkpointer(
+        str(tmp_path / "ck"), cfg, keep=1,
+        best_metric="eval_great_circle_deg",
+    )
+    state = T.init_state(cfg, init, opt)
+    for step, metric in ((1, 20.0), (2, 5.0), (3, 11.0)):
+        st = state._replace(step=jnp.asarray(step))
+        ckpt.save(st, metrics={"eval_great_circle_deg": metric})
+    # keep=1 with best_fn: the surviving checkpoint is the best (step 2)
+    assert ckpt.best_step() == 2
+    assert ckpt.manager.all_steps() == [2]
