@@ -31,15 +31,18 @@ def test_debug_nans_scope():
 
 
 def test_step_timer():
+    import time
+
     t = P.StepTimer(items_per_step=32)
     t.tick()  # compile step, ignored
     for _ in range(5):
+        time.sleep(0.01)  # give the clock real elapsed time per step
         t.tick()
     assert t.steps == 5
     sps = t.steps_per_sec
-    assert sps > 0
+    assert 0 < sps < 1000
     # both properties re-read the clock; allow drift between reads
-    assert t.items_per_sec == pytest.approx(32 * sps, rel=0.5)
+    assert t.items_per_sec == pytest.approx(32 * sps, rel=0.2)
 
 
 def test_metrics_writer(tmp_path):
