@@ -27,7 +27,14 @@ from . import seq2seq
 from .cell import get_cell_fn, init_lstm
 from .seq2seq import Seq2SeqConfig
 
-__all__ = ["init", "apply", "batch_extras", "encode_peers"]
+__all__ = [
+    "init",
+    "apply",
+    "apply_fused_tf",
+    "apply_fused_ss",
+    "batch_extras",
+    "encode_peers",
+]
 
 
 def init(key: jax.Array, cfg: Seq2SeqConfig) -> Dict:

@@ -21,7 +21,15 @@ import jax.numpy as jnp
 from . import seq2seq
 from .seq2seq import Seq2SeqConfig
 
-__all__ = ["init", "apply", "batch_extras", "FEATURE_DIM"]
+__all__ = [
+    "init",
+    "apply",
+    "apply_fused_tf",
+    "apply_fused_ss",
+    "batch_extras",
+    "project_features",
+    "FEATURE_DIM",
+]
 
 # default per-window video-feature width (2 × conv feat_dim of 64 is the
 # features.equirect default; data may carry any width — init sizes from

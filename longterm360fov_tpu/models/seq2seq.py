@@ -38,7 +38,16 @@ from jax import lax
 
 from .cell import get_cell_fn, init_lstm
 
-__all__ = ["Seq2SeqConfig", "init", "apply", "decode"]
+__all__ = [
+    "Seq2SeqConfig",
+    "init",
+    "apply",
+    "decode",
+    "decode_fused",
+    "serve_fused",
+    "apply_fused_tf",
+    "apply_fused_ss",
+]
 
 
 @dataclasses.dataclass(frozen=True)
