@@ -11,12 +11,14 @@ itself is a CPU research codebase and its mount was empty — SURVEY.md
 provenance note). Target: >50x (BASELINE.json:5).
 
 Tuning provenance (scripts/tpu_sweep.py → bench_sweep.jsonl, TPU v5e):
-throughput peaks at batch 16384. Primary path: ops.fused_lstm.fused_serve
-— encoder + autoregressive decoder in ONE Pallas kernel, weights/states
-VMEM-resident for the whole request, one packed [x,h] matmul per
-layer-step → ~5.1M traj/s (vs 3.9M for the best XLA scan path, bf16).
-f32 vs bf16 is a wash inside VMEM (the MXU computes f32 via bf16 passes
-and bandwidth is no longer the bottleneck), so f32 is kept for exactness.
+primary path is ops.fused_lstm.fused_serve — encoder + autoregressive
+decoder in ONE Pallas kernel, weights/states VMEM-resident for the whole
+request, one packed [x,h] matmul per layer-step. Throughput scales with
+batch as per-dispatch overhead amortizes over sequential 2048-row grid
+tiles, plateauing ≈8.3-8.5M traj/s at ≥256K concurrent viewers (vs 3.9M
+for the best XLA scan path at its optimal batch). f32 vs bf16 is a wash
+inside VMEM (the MXU computes f32 via bf16 passes and bandwidth is not
+the bottleneck), so f32 is kept for exactness.
 
 Runtime note: this environment's axon TPU plugin pays a one-off
 ~300-450s cost on the FIRST large compile of a process (later compiles
@@ -31,8 +33,8 @@ import time
 
 import numpy as np
 
-BATCH = 16384
-ITERS = 20
+BATCH = 262144
+ITERS = 10
 WATCHDOG_S = 540
 
 _result = {"value": 0.0, "vs_baseline": 0.0, "error": "watchdog"}
