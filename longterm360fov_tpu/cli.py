@@ -78,6 +78,18 @@ def _build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--tile-rows", type=int, default=6)
     sv.add_argument("--tile-cols", type=int, default=12)
 
+    st = sub.add_parser(
+        "stream-sim",
+        help="continuous streaming simulation: per-deadline prefetch hit rates",
+    )
+    st.add_argument("--preset", required=True)
+    st.add_argument("--ckpt-dir", required=True)
+    st.add_argument("--traces", help="trace dir; synthetic store if omitted")
+    st.add_argument("--dataset-format", default="auto")
+    st.add_argument("--deadlines", default="1,10,30")
+    st.add_argument("--fov", type=float, default=90.0)
+    st.add_argument("--impl", default="xla", choices=("xla", "fused"))
+
     sub.add_parser("presets", help="list experiment presets")
     return p
 
@@ -335,6 +347,40 @@ def cmd_serve(args):
     )
 
 
+def cmd_stream_sim(args):
+    from . import checkpoint as C
+    from . import infer
+    from . import train as TR
+    from .config import get_preset
+    from .models import get_family
+
+    cfg = get_preset(args.preset)
+    fam = get_family(cfg.model_family)
+    opt = TR.make_optimizer(cfg)
+    ck = C.Checkpointer(args.ckpt_dir, cfg)
+    state = ck.restore(TR.init_state(cfg, fam.init, opt))
+    if args.traces:
+        from . import datasets as DSETS
+
+        store = DSETS.load_dataset(
+            args.traces, fmt=args.dataset_format, rate_hz=cfg.rate_hz
+        )
+    else:
+        from . import traces as T
+
+        store = T.synthetic_store(
+            n_users=8, n_videos=1, n_frames=600, rate_hz=cfg.rate_hz,
+            seed=cfg.seed + 1,
+        )
+    res = infer.stream_simulation(
+        state.params, cfg, fam.apply,
+        [t.xyz for t in store.traces],
+        deadlines=tuple(int(x) for x in args.deadlines.split(",")),
+        fov_deg=args.fov, impl=args.impl,
+    )
+    print(json.dumps(res))
+
+
 def cmd_presets(_args):
     from .config import PRESETS
 
@@ -353,6 +399,7 @@ def main(argv=None):
         "train": cmd_train,
         "eval": cmd_eval,
         "serve": cmd_serve,
+        "stream-sim": cmd_stream_sim,
         "serve-bench": cmd_serve_bench,
         "presets": cmd_presets,
     }[args.cmd](args)

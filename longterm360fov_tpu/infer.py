@@ -15,6 +15,7 @@ chip at the 30-frame horizon (BASELINE.json:2).
 
 from __future__ import annotations
 
+import time
 from functools import partial
 from typing import Callable
 
@@ -196,3 +197,78 @@ def prefetch_accuracy(
     return jnp.mean(hit.astype(jnp.float32)), jnp.mean(
         jnp.sum(mask, axis=-1).astype(jnp.float32)
     )
+
+
+def stream_simulation(
+    params,
+    cfg,
+    apply_fn,
+    traces_xyz,  # list of (T, 3) viewer traces, equal length
+    *,
+    deadlines=(1, 10, 30),
+    tile_rows: int = 6,
+    tile_cols: int = 12,
+    fov_deg: float = 90.0,
+    impl: str = "xla",
+    extras_fn=None,
+):
+    """Continuous streaming simulation (SURVEY.md §3.3, the production
+    loop): at every tick each viewer's last H_in observed frames go in,
+    a fresh H_out-frame prediction comes out, and the server prefetches
+    tiles for each download deadline δ (frames of lead time the network
+    needs). Reports, per deadline, how often the tile the viewer ACTUALLY
+    looked at δ frames later was in the set prefetched now.
+
+    The per-tick batch is ONE jitted dispatch over all viewers; the host
+    loop only slides window views. Returns a summary dict.
+    """
+    import numpy as np
+
+    from . import windows as W
+
+    h_in, h_out = cfg.model.h_in, cfg.model.h_out
+    t_total = min(len(t) for t in traces_xyz)
+    stack = np.stack([t[:t_total] for t in traces_xyz])  # (V, T, 3)
+    n_view = stack.shape[0]
+
+    serve = make_predict_fn(
+        params, cfg, apply_fn, impl=impl, extras_fn=extras_fn
+    )
+
+    max_d = max(deadlines)
+    hits = {d: 0 for d in deadlines}
+    counts = {d: 0 for d in deadlines}
+    tiles_total = 0.0
+    n_pred = 0
+    t0 = time.time()
+    for t in range(h_in, t_total - max_d):
+        past = jnp.asarray(stack[:, t - h_in : t])  # (V, h_in, 3)
+        pred = serve(past)  # (V, h_out, 3)
+        mask = tiles_for_fov(
+            pred, tile_rows=tile_rows, tile_cols=tile_cols, fov_deg=fov_deg
+        )  # (V, h_out, M)
+        # union over the horizon = the prefetch set for this tick
+        fetch = np.asarray(jnp.any(mask, axis=1))  # (V, M)
+        tiles_total += float(np.asarray(jnp.sum(mask, axis=-1)).mean())
+        n_pred += n_view
+        for dl in deadlines:
+            true_tile = np.asarray(
+                tile_of(
+                    jnp.asarray(stack[:, t + dl - 1]),
+                    tile_rows=tile_rows, tile_cols=tile_cols,
+                )
+            )
+            hit = fetch[np.arange(n_view), true_tile]
+            hits[dl] += int(hit.sum())
+            counts[dl] += n_view
+    elapsed = max(time.time() - t0, 1e-9)
+    return {
+        "viewers": n_view,
+        "ticks": t_total - max_d - h_in,
+        "hit_rate_by_deadline": {
+            str(dl): round(hits[dl] / max(counts[dl], 1), 4)
+            for dl in deadlines
+        },
+        "mean_tiles_per_frame": round(tiles_total / max(n_pred / n_view, 1), 2),
+        "predictions_per_sec": round(n_pred / elapsed, 1),
+    }

@@ -54,3 +54,29 @@ def test_multihost_noop_single_process():
     assert multihost.init_multihost() is False
     sl = multihost.host_local_batch_slice(64)
     assert sl == slice(0, 64)
+
+
+def test_stream_simulation():
+    import jax
+
+    from longterm360fov_tpu import traces
+    from longterm360fov_tpu.config import ExperimentConfig
+    from longterm360fov_tpu.models.seq2seq import Seq2SeqConfig, apply, init
+
+    cfg = ExperimentConfig(
+        name="stream-test",
+        model=Seq2SeqConfig(d=3, hidden=16, layers=1, h_in=5, h_out=10),
+    )
+    params = init(jax.random.PRNGKey(0), cfg.model)
+    store = traces.synthetic_store(n_users=3, n_videos=1, n_frames=60)
+    res = infer.stream_simulation(
+        params, cfg, apply, [t.xyz for t in store.traces],
+        deadlines=(1, 5),
+    )
+    assert res["viewers"] == 3
+    assert res["ticks"] > 0
+    hr = res["hit_rate_by_deadline"]
+    assert set(hr) == {"1", "5"}
+    assert all(0.0 <= v <= 1.0 for v in hr.values())
+    # near-term deadline should be at least as easy as the far one
+    assert hr["1"] >= hr["5"] - 0.05
