@@ -27,6 +27,7 @@ def windows_from_store(
     train_frac: float = 0.8,
     n_other_users: int = 0,
     video_features: Optional[Dict[str, np.ndarray]] = None,
+    video_maps: Optional[Dict[str, np.ndarray]] = None,
 ) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
     """Build (train, test) dicts of packed windows from every trace.
 
@@ -41,6 +42,12 @@ def windows_from_store(
     ``features``: (F,) — the mean feature over the window's FUTURE
     frame span (legitimate for on-demand video; BASELINE.json:10).
     Traces are assumed frame-aligned with their video's feature array.
+
+    With ``video_maps`` = {video_name: (T_video, Hm, Wm) saliency/motion
+    maps}, each window instead carries ``maps``: (Hm, Wm) — the mean map
+    over the future span, consumed by the fusion family's END-TO-END
+    mode (the conv feature stack trains jointly with the trajectory
+    model).
     """
     span = h_in + h_out
     out = {True: [], False: []}  # is_train → list of per-trace dicts
@@ -56,6 +63,16 @@ def windows_from_store(
                 continue
             wb = make_windows(tr.xyz[lo:hi], h_in, h_out, stride)
             entry = {"past": wb.past, "future": wb.future}
+            if video_maps is not None and tr.video in video_maps:
+                vm = np.asarray(video_maps[tr.video], np.float32)
+                n_win = len(wb.past)
+                maps = np.zeros((n_win,) + vm.shape[1:], np.float32)
+                for w in range(n_win):
+                    a = lo + w * stride + h_in
+                    b = min(a + h_out, len(vm))
+                    if a < len(vm):
+                        maps[w] = vm[a:b].mean(axis=0)
+                entry["maps"] = maps
             if video_features is not None and tr.video in video_features:
                 vf = np.asarray(video_features[tr.video], np.float32)
                 n_win = len(wb.past)

@@ -9,6 +9,15 @@ legitimate serve-time input. A trainable projection maps the feature
 vector into the decoder's per-step context slot (the same hook
 cross_user uses) — the decoder then biases its rollout toward salient
 regions of the sphere.
+
+Two input modes per batch:
+  * ``features`` (B, F): pre-extracted feature vectors (the reference's
+    offline pipeline) → trainable MLP → context.
+  * ``maps`` (B, Hm, Wm): per-window pooled saliency/motion maps → the
+    trainable conv stack (features.equirect.conv_features, XLA path so
+    gradients flow; the Pallas conv+resize kernel serves inference) →
+    MLP → context. This is the END-TO-END mode: the conv filters learn
+    jointly with the trajectory model.
 """
 
 from __future__ import annotations
@@ -37,12 +46,21 @@ __all__ = [
 FEATURE_DIM = 128
 
 
+CONV_GRID = (4, 8)  # coarse equirect pooling grid for the conv stack
+
+
 def init(key: jax.Array, cfg: Seq2SeqConfig, feature_dim: int = FEATURE_DIM) -> Dict:
-    """Seq2seq params + feature→context projection (2-layer MLP)."""
+    """Seq2seq params + feature→context projection (2-layer MLP) + a
+    trainable conv stack for the end-to-end ``maps`` mode."""
     if cfg.ctx_dim <= 0:
         raise ValueError("fusion model needs cfg.ctx_dim > 0")
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    from ..features.equirect import init_conv_features
+
     params = seq2seq.init(k1, cfg)
+    params["conv"] = init_conv_features(
+        k4, channels=4, feat_dim=feature_dim, grid=CONV_GRID
+    )
     hid = max(cfg.ctx_dim, 64)
     lim1 = jnp.sqrt(6.0 / (feature_dim + hid))
     lim2 = jnp.sqrt(6.0 / (hid + cfg.ctx_dim))
@@ -80,9 +98,12 @@ def apply(
     rng: Optional[jax.Array] = None,
     teacher_prob=1.0,
     features: Optional[jax.Array] = None,
+    maps: Optional[jax.Array] = None,
     context: Optional[jax.Array] = None,
 ) -> jax.Array:
     if context is None:
+        if maps is not None:
+            features = compute_map_features(params, maps)
         if features is not None:
             context = project_features(params, features).astype(cfg.dtype)
         else:
@@ -105,11 +126,14 @@ def apply_fused_tf(
     future_n: jax.Array,
     *,
     features: Optional[jax.Array] = None,
+    maps: Optional[jax.Array] = None,
     context: Optional[jax.Array] = None,
     tile_b: int = 1024,
 ) -> jax.Array:
     """Teacher-forced forward on the fused Pallas primitives."""
     if context is None:
+        if maps is not None:
+            features = compute_map_features(params, maps)
         if features is not None:
             context = project_features(params, features).astype(cfg.dtype)
         else:
@@ -128,11 +152,14 @@ def apply_fused_ss(
     rng=None,
     teacher_prob=1.0,
     features: Optional[jax.Array] = None,
+    maps: Optional[jax.Array] = None,
     context: Optional[jax.Array] = None,
     tile_b: int = 1024,
 ) -> jax.Array:
     """Scheduled-sampling training forward on the fused Pallas decoder."""
     if context is None:
+        if maps is not None:
+            features = compute_map_features(params, maps)
         if features is not None:
             context = project_features(params, features).astype(cfg.dtype)
         else:
@@ -143,6 +170,21 @@ def apply_fused_ss(
     )
 
 
+def compute_map_features(params: Dict, maps: jax.Array) -> jax.Array:
+    """(B, Hm, Wm) pooled saliency/motion maps → (B, F) features through
+    the trainable conv stack. XLA path (differentiable); the Pallas
+    fused conv+resize kernel is the inference tier."""
+    from ..features.equirect import conv_features
+
+    return conv_features(
+        params["conv"], maps, grid=CONV_GRID, use_pallas=False
+    )
+
+
 def batch_extras(batch: Dict, anchor) -> Dict:
-    f = batch.get("features")
-    return {} if f is None else {"features": f}
+    out = {}
+    if batch.get("features") is not None:
+        out["features"] = batch["features"]
+    if batch.get("maps") is not None:
+        out["maps"] = batch["maps"]
+    return out

@@ -78,3 +78,45 @@ def test_fusion_trains_end_to_end():
         state.params, cfg, F.apply, te, extras_fn=F.batch_extras
     )
     assert np.isfinite(res["mean_deg"])
+
+
+def test_end_to_end_maps_mode_trains_conv_stack():
+    """Fusion 'maps' mode: the conv filters receive gradients and the
+    model trains jointly on pooled saliency maps."""
+    import jax.numpy as jnp
+
+    store = traces.synthetic_store(n_users=2, n_videos=1, n_frames=200, seed=6)
+    rng = np.random.default_rng(2)
+    vmaps = {"video0": rng.random((200, 16, 32)).astype(np.float32)}
+    tr, te = D.windows_from_store(
+        store, 5, 4, train_frac=0.8, video_maps=vmaps
+    )
+    assert tr["maps"].shape[1:] == (16, 32)
+
+    model = _cfg()
+    cfg = ExperimentConfig(
+        name="fusion-e2e", model=model, model_family="fusion",
+        batch_size=32, steps=6, eval_every=6,
+    )
+    state0 = train.init_state(
+        cfg, lambda k, m: F.init(k, m, feature_dim=16), train.make_optimizer(cfg)
+    )
+    conv_before = np.asarray(state0.params["conv"]["kernels"]).copy()
+    opt = train.make_optimizer(cfg)
+    step = train.make_train_step(cfg, F.apply, opt, extras_fn=F.batch_extras)
+    batch = {k: jnp.asarray(v[:32]) for k, v in tr.items()}
+    state, m = step(state0, batch)
+    assert np.isfinite(float(m["loss"]))
+    conv_after = np.asarray(state.params["conv"]["kernels"])
+    assert not np.allclose(conv_before, conv_after), "conv stack got no grads"
+
+
+def test_maps_mode_forward_changes_output():
+    cfg = _cfg()
+    params = F.init(jax.random.PRNGKey(1), cfg, feature_dim=16)
+    rng = np.random.default_rng(3)
+    past = jnp.asarray(rng.normal(size=(4, 5, 3)).astype(np.float32))
+    maps = jnp.asarray(rng.random((4, 16, 32)).astype(np.float32))
+    y_maps = F.apply(params, cfg, past, maps=maps)
+    y_none = F.apply(params, cfg, past)
+    assert not np.allclose(np.asarray(y_maps), np.asarray(y_none))
