@@ -300,10 +300,15 @@ def _ar_decode(params, cfg, enc_mem, peer_mem, peer_valid, y0):
 
     pos_all = _pos_enc(t_out, h)  # (T, H)
 
+    # KV caches follow the model dtype: with bf16 params the per-step
+    # full-cache reads (the HBM-bound cost of AR decode) halve; the
+    # attention math upcasts to f32 at use. f32 params keep the exact
+    # cache the KV-consistency tests pin down.
+    cache_dtype = cfg.dtype
     cache0 = [
         (
-            jnp.zeros((b, N_HEADS, t_out, head), jnp.float32),
-            jnp.zeros((b, N_HEADS, t_out, head), jnp.float32),
+            jnp.zeros((b, N_HEADS, t_out, head), cache_dtype),
+            jnp.zeros((b, N_HEADS, t_out, head), cache_dtype),
         )
         for _ in params["dec"]
     ]
@@ -328,15 +333,19 @@ def _ar_decode(params, cfg, enc_mem, peer_mem, peer_valid, y0):
                         preferred_element_type=jnp.float32)
             )
             k_cache = lax.dynamic_update_slice(
-                k_cache, k_new, (0, 0, t, 0)
+                k_cache, k_new.astype(k_cache.dtype), (0, 0, t, 0)
             )
             v_cache = lax.dynamic_update_slice(
-                v_cache, v_new, (0, 0, t, 0)
+                v_cache, v_new.astype(v_cache.dtype), (0, 0, t, 0)
             )
             new_caches.append((k_cache, v_cache))
             x = _decoder_block(
                 layer, x, enc_mem, peer_mem, peer_valid,
-                causal_mask=valid, self_kv=(k_cache, v_cache),
+                causal_mask=valid,
+                self_kv=(
+                    k_cache.astype(jnp.float32),
+                    v_cache.astype(jnp.float32),
+                ),
             )
         x = _ln(params["final_ln"], x)
         y = (
