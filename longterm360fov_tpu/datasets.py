@@ -109,6 +109,43 @@ def _to_xyz(arr: np.ndarray, spec: FormatSpec) -> np.ndarray:
     return np.asarray(geometry.euler_to_xyz(yaw, pitch))
 
 
+def _load_json_trace(path: str) -> Optional[np.ndarray]:
+    """AVtrack360-style JSON logs → (rows, 4) [t, yaw_deg, pitch_deg, roll].
+
+    Layout (per the published AVtrack360 HMD dataset): a JSON object with
+    per-video entries carrying a list of samples, each with ``sec`` (or
+    ``time``) and head angles ``yaw``/``pitch``/``roll`` in degrees.
+    Best-effort: accepts a top-level list of samples or {"data": [...]}.
+    """
+    import json as _json
+
+    try:
+        with open(path) as f:
+            obj = _json.load(f)
+    except (ValueError, OSError):
+        return None
+    if isinstance(obj, dict):
+        for key in ("data", "samples", "filmedHeadData", "pitch_yaw_roll_data_hmd"):
+            if key in obj and isinstance(obj[key], list):
+                obj = obj[key]
+                break
+        else:
+            return None
+    if not isinstance(obj, list) or not obj:
+        return None
+    rows = []
+    for s in obj:
+        if not isinstance(s, dict):
+            return None
+        t = s.get("sec", s.get("time", s.get("t")))
+        yaw = s.get("yaw")
+        pitch = s.get("pitch")
+        if t is None or yaw is None or pitch is None:
+            return None
+        rows.append([float(t), float(yaw), float(pitch), float(s.get("roll", 0.0))])
+    return np.asarray(rows, np.float32)
+
+
 def load_dataset(
     root: str,
     fmt: str = "auto",
@@ -131,12 +168,17 @@ def load_dataset(
     ):
         if not os.path.isfile(path):
             continue
-        try:
-            with open(path, "rb") as f:
-                arr = parse_trace_bytes(f.read())
-        except (OSError, ValueError):
-            continue
-        if arr.shape[0] < 2:
+        if path.endswith(".json"):
+            arr = _load_json_trace(path)
+            if arr is None:
+                continue
+        else:
+            try:
+                with open(path, "rb") as f:
+                    arr = parse_trace_bytes(f.read())
+            except (OSError, ValueError):
+                continue
+        if arr is None or arr.shape[0] < 2:
             continue
         s = chosen
         if s is None:

@@ -67,3 +67,29 @@ def test_sphere_outputs(tmp_path):
     store = DS.load_dataset(str(tmp_path), fmt="auto")
     xyz = store.traces[0].xyz
     np.testing.assert_allclose(np.linalg.norm(xyz, axis=-1), 1.0, atol=1e-5)
+
+
+def test_load_json_avtrack360_layout(tmp_path):
+    import json
+
+    d = tmp_path / "userJ"
+    d.mkdir()
+    samples = [
+        {"sec": i * 0.1, "yaw": i * 2.0, "pitch": 5.0, "roll": 0.0}
+        for i in range(80)
+    ]
+    (d / "vidX.json").write_text(json.dumps({"data": samples}))
+    # plain top-level list variant
+    (d / "vidY.json").write_text(json.dumps(samples))
+    store = DS.load_dataset(str(tmp_path), fmt="auto", rate_hz=10.0)
+    assert len(store) == 2
+    tr = store.traces[0]
+    _, pitch = tr.euler
+    np.testing.assert_allclose(pitch, np.radians(5.0), atol=1e-3)
+
+
+def test_json_garbage_skipped(tmp_path):
+    (tmp_path / "bad.json").write_text("{not json")
+    (tmp_path / "empty.json").write_text("[]")
+    store = DS.load_dataset(str(tmp_path), fmt="auto")
+    assert len(store) == 0
