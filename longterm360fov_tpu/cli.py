@@ -90,6 +90,14 @@ def _build_parser() -> argparse.ArgumentParser:
     st.add_argument("--fov", type=float, default=90.0)
     st.add_argument("--impl", default="xla", choices=("xla", "fused"))
 
+    ex = sub.add_parser(
+        "export", help="checkpoint → flat npz for serving deployments"
+    )
+    ex.add_argument("--preset", required=True)
+    ex.add_argument("--ckpt-dir", required=True)
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--step", type=int, help="default: latest")
+
     sub.add_parser("presets", help="list experiment presets")
     return p
 
@@ -381,6 +389,36 @@ def cmd_stream_sim(args):
     print(json.dumps(res))
 
 
+def cmd_export(args):
+    """Flatten a checkpoint's params into one npz (keys like
+    'encoder.0.w') so serving hosts load with numpy alone — no orbax,
+    no training deps."""
+    import jax
+
+    from . import checkpoint as C
+    from . import train as TR
+    from .config import get_preset
+    from .models import get_family
+
+    cfg = get_preset(args.preset)
+    fam = get_family(cfg.model_family)
+    opt = TR.make_optimizer(cfg)
+    ck = C.Checkpointer(args.ckpt_dir, cfg)
+    state = ck.restore(TR.init_state(cfg, fam.init, opt), step=args.step)
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(state.params)[0]:
+        key = ".".join(
+            str(getattr(k, "key", getattr(k, "idx", getattr(k, "name", k))))
+            for k in path
+        )
+        flat[key] = np.asarray(leaf)
+    np.savez(args.out, **flat)
+    print(
+        f"exported {len(flat)} arrays "
+        f"({sum(a.nbytes for a in flat.values())/1e6:.2f} MB) → {args.out}"
+    )
+
+
 def cmd_presets(_args):
     from .config import PRESETS
 
@@ -400,6 +438,7 @@ def main(argv=None):
         "eval": cmd_eval,
         "serve": cmd_serve,
         "stream-sim": cmd_stream_sim,
+        "export": cmd_export,
         "serve-bench": cmd_serve_bench,
         "presets": cmd_presets,
     }[args.cmd](args)

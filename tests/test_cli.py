@@ -65,3 +65,28 @@ def test_train_data_parallel(tmp_path, capsys):
     metrics = json.loads(out)
     assert metrics["n_devices"] == 8
     assert np.isfinite(metrics["loss"])
+
+
+def test_export_roundtrip(tmp_path, capsys):
+    data = str(tmp_path / "w.npz")
+    cli.main(
+        ["prepare-data", "--out", data, "--h-in", "10", "--h-out", "10",
+         "--n-users", "2", "--n-videos", "1", "--n-frames", "200"]
+    )
+    ckpt = str(tmp_path / "ck")
+    cli.main(
+        ["train", "--preset", "lstm-xyz-10", "--data", data,
+         "--steps", "2", "--batch-size", "16", "--ckpt-dir", ckpt]
+    )
+    capsys.readouterr()
+    out = str(tmp_path / "params.npz")
+    cli.main(["export", "--preset", "lstm-xyz-10", "--ckpt-dir", ckpt,
+              "--out", out])
+    msg = capsys.readouterr().out
+    assert "exported" in msg
+    z = np.load(out)
+    keys = set(z.files)
+    assert any(k.startswith("encoder") for k in keys)
+    assert any(k.startswith("proj") for k in keys)
+    # every array loads as plain numpy
+    assert all(np.asarray(z[k]).size > 0 for k in keys)
