@@ -190,9 +190,12 @@ def _peer_tokens(params, cfg, other_future_n, other_mask):
 
 
 def _decoder_block(layer, x, enc_mem, peer_mem, peer_valid, *, causal_mask,
-                   self_kv=None):
+                   self_kv=None, cross_kv=None, peer_kv=None):
     """One decoder layer on (B,Tq,H). With self_kv=(k,v) the
-    self-attention keys/values come from the cache (decode path)."""
+    self-attention keys/values come from the cache (decode path);
+    cross_kv/peer_kv are the PRECOMPUTED encoder/peer K,V — recomputing
+    them per decode step was a 15× throughput bug (they are static for
+    the whole rollout)."""
     h_in = _ln(layer["ln1"], x)
     if self_kv is None:
         x = x + _attention(
@@ -207,14 +210,32 @@ def _decoder_block(layer, x, enc_mem, peer_mem, peer_valid, *, causal_mask,
         x = x + _attention_qkv(
             layer["self_attn"], q, k, v, mask=causal_mask
         )
-    x = x + _attention(
-        layer["cross_attn"], _ln(layer["ln2"], x), enc_mem
-    )
-    if peer_mem is not None:
-        pa = _attention(
-            layer["peer_attn"], _ln(layer["ln3"], x), peer_mem,
-            mask=peer_valid[:, None, :],
+    if cross_kv is None:
+        x = x + _attention(
+            layer["cross_attn"], _ln(layer["ln2"], x), enc_mem
         )
+    else:
+        q = _split_heads(
+            jnp.dot(_ln(layer["ln2"], x), layer["cross_attn"]["wq"],
+                    preferred_element_type=jnp.float32)
+        )
+        x = x + _attention_qkv(layer["cross_attn"], q, *cross_kv)
+    if peer_mem is not None:
+        q_in = _ln(layer["ln3"], x)
+        if peer_kv is None:
+            pa = _attention(
+                layer["peer_attn"], q_in, peer_mem,
+                mask=peer_valid[:, None, :],
+            )
+        else:
+            qp = _split_heads(
+                jnp.dot(q_in, layer["peer_attn"]["wq"],
+                        preferred_element_type=jnp.float32)
+            )
+            pa = _attention_qkv(
+                layer["peer_attn"], qp, *peer_kv,
+                mask=peer_valid[:, None, :],
+            )
         # rows with zero valid peers gate to exactly 0 (otherwise the
         # -1e9-everywhere softmax attends uniformly to garbage)
         has_peer = jnp.any(peer_valid, axis=-1)[:, None, None]
@@ -346,6 +367,8 @@ def _ar_decode(params, cfg, enc_mem, peer_mem, peer_valid, y0):
                     k_cache.astype(jnp.float32),
                     v_cache.astype(jnp.float32),
                 ),
+                cross_kv=(ck, cv),
+                peer_kv=(pk, pv) if pk is not None else None,
             )
         x = _ln(params["final_ln"], x)
         y = (
