@@ -47,7 +47,14 @@ class Checkpointer:
         meta_path = os.path.join(self.directory, "config.json")
         if not os.path.exists(meta_path):
             with open(meta_path, "w") as f:
-                json.dump({"name": cfg.name, "hash": cfg.hash()}, f)
+                json.dump(
+                    {
+                        "name": cfg.name,
+                        "hash": cfg.hash(),
+                        "model_hash": cfg.model_hash(),
+                    },
+                    f,
+                )
 
     def save(self, state: TrainState, metrics: Optional[dict] = None) -> None:
         self.manager.save(
@@ -74,10 +81,23 @@ class Checkpointer:
         )
         return restored
 
-    def check_config(self) -> bool:
-        """True when the on-disk config hash matches this experiment."""
+    def _meta(self) -> dict:
         meta_path = os.path.join(self.directory, "config.json")
         if not os.path.exists(meta_path):
-            return True
+            return {}
         with open(meta_path) as f:
-            return json.load(f).get("hash") == self.cfg.hash()
+            return json.load(f)
+
+    def check_config(self) -> bool:
+        """True when the on-disk FULL config hash matches this experiment
+        (architecture + training hyperparameters)."""
+        meta = self._meta()
+        return not meta or meta.get("hash") == self.cfg.hash()
+
+    def check_model_config(self) -> bool:
+        """True when the on-disk MODEL hash matches — i.e. the params in
+        this directory mean what this experiment's architecture expects.
+        Missing key (pre-model_hash checkpoints) passes."""
+        meta = self._meta()
+        saved = meta.get("model_hash")
+        return saved is None or saved == self.cfg.model_hash()

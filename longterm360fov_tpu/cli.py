@@ -102,12 +102,53 @@ def _build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _open_checkpoint(ckpt_dir, cfg, *, resuming=False):
+    """Construct a Checkpointer and validate its on-disk config hashes.
+
+    A model-hash mismatch means the stored params would be silently
+    misinterpreted (different architecture/family semantics) → hard
+    error. A full-hash mismatch only differs in training hyperparameters
+    — expected when a run trained with CLI overrides is evaluated under
+    the bare preset — so it only warns when resuming training."""
+    from . import checkpoint as C
+
+    ck = C.Checkpointer(ckpt_dir, cfg)
+    if not ck.check_model_config():
+        raise SystemExit(
+            f"checkpoint in {ckpt_dir!r} was written for a different model "
+            f"architecture/family than preset {cfg.name!r} (model-config "
+            f"hash mismatch); evaluating it here would silently "
+            f"misinterpret the parameters. Use the preset it was trained "
+            f"with."
+        )
+    if resuming and not ck.check_config():
+        print(
+            f"warning: resuming in {ckpt_dir!r} with different training "
+            f"hyperparameters than the checkpoint was created with "
+            f"(config hash mismatch; architecture matches)",
+            file=sys.stderr,
+        )
+    return ck
+
+
 def _load_or_synth_data(args, cfg):
     from . import data as D
     from . import traces as T
 
     if getattr(args, "data", None):
         packed = D.load_packed(args.data)
+        # prepare-data writes a time-split held-out file next to the train
+        # file; use it so eval windows never share frames with training
+        # windows (sliding windows straddling an index cut would leak).
+        test_path = args.data.replace(".npz", "") + "_test.npz"
+        if os.path.exists(test_path):
+            return packed, D.load_packed(test_path)
+        print(
+            f"warning: {test_path} not found; falling back to a 90/10 "
+            f"window-index split (boundary windows share frames across "
+            f"the cut — prefer prepare-data's paired _test.npz)",
+            file=sys.stderr,
+        )
         n = len(packed["past"])
         cut = int(n * 0.9)
         train_d = {k: v[:cut] for k, v in packed.items()}
@@ -186,10 +227,8 @@ def cmd_train(args):
 
     state = None
     if args.resume and args.ckpt_dir:
-        from . import checkpoint as C
-
         opt = TR.make_optimizer(cfg)
-        ck = C.Checkpointer(args.ckpt_dir, cfg)
+        ck = _open_checkpoint(args.ckpt_dir, cfg, resuming=True)
         if ck.latest_step() is not None:
             state = ck.restore(TR.init_state(cfg, fam.init, opt))
             print(f"resumed from step {int(state.step)}")
@@ -218,7 +257,6 @@ def cmd_train(args):
 
 
 def cmd_eval(args):
-    from . import checkpoint as C
     from . import evaluate as E
     from . import train as TR
     from .config import get_preset
@@ -227,7 +265,7 @@ def cmd_eval(args):
     cfg = get_preset(args.preset)
     fam = get_family(cfg.model_family)
     opt = TR.make_optimizer(cfg)
-    ck = C.Checkpointer(args.ckpt_dir, cfg)
+    ck = _open_checkpoint(args.ckpt_dir, cfg)
     state = ck.restore(TR.init_state(cfg, fam.init, opt))
     _, test_d = _load_or_synth_data(args, cfg)
     res = E.evaluate(
@@ -313,7 +351,7 @@ def cmd_serve(args):
     bandwidth spent — for the model and the hold-last baseline."""
     import jax.numpy as jnp
 
-    from . import baselines, checkpoint as C, infer
+    from . import baselines, infer
     from . import train as TR
     from .config import get_preset
     from .models import get_family
@@ -321,7 +359,7 @@ def cmd_serve(args):
     cfg = get_preset(args.preset)
     fam = get_family(cfg.model_family)
     opt = TR.make_optimizer(cfg)
-    ck = C.Checkpointer(args.ckpt_dir, cfg)
+    ck = _open_checkpoint(args.ckpt_dir, cfg)
     state = ck.restore(TR.init_state(cfg, fam.init, opt))
     _, test_d = _load_or_synth_data(args, cfg)
 
@@ -356,7 +394,6 @@ def cmd_serve(args):
 
 
 def cmd_stream_sim(args):
-    from . import checkpoint as C
     from . import infer
     from . import train as TR
     from .config import get_preset
@@ -365,7 +402,7 @@ def cmd_stream_sim(args):
     cfg = get_preset(args.preset)
     fam = get_family(cfg.model_family)
     opt = TR.make_optimizer(cfg)
-    ck = C.Checkpointer(args.ckpt_dir, cfg)
+    ck = _open_checkpoint(args.ckpt_dir, cfg)
     state = ck.restore(TR.init_state(cfg, fam.init, opt))
     if args.traces:
         from . import datasets as DSETS
@@ -395,7 +432,6 @@ def cmd_export(args):
     no training deps."""
     import jax
 
-    from . import checkpoint as C
     from . import train as TR
     from .config import get_preset
     from .models import get_family
@@ -403,7 +439,7 @@ def cmd_export(args):
     cfg = get_preset(args.preset)
     fam = get_family(cfg.model_family)
     opt = TR.make_optimizer(cfg)
-    ck = C.Checkpointer(args.ckpt_dir, cfg)
+    ck = _open_checkpoint(args.ckpt_dir, cfg)
     state = ck.restore(TR.init_state(cfg, fam.init, opt), step=args.step)
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(state.params)[0]:

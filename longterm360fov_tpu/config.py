@@ -58,6 +58,22 @@ class ExperimentConfig:
             json.dumps(d, sort_keys=True).encode()
         ).hexdigest()[:16]
 
+    def model_hash(self) -> str:
+        """Hash of the fields that define what the checkpointed params
+        MEAN (architecture + family + peer-context size). Training
+        hyperparameters (lr, steps, ...) are deliberately excluded so a
+        checkpoint trained with CLI overrides still evaluates under the
+        bare preset; a mismatch here means the params would be silently
+        misinterpreted."""
+        d = {
+            "model": dataclasses.asdict(self.model),
+            "model_family": self.model_family,
+            "n_other_users": self.n_other_users,
+        }
+        return hashlib.sha256(
+            json.dumps(d, sort_keys=True, default=str).encode()
+        ).hexdigest()[:16]
+
     def replace(self, **kw) -> "ExperimentConfig":
         return dataclasses.replace(self, **kw)
 

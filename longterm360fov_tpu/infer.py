@@ -87,19 +87,28 @@ def make_predict_fn(
     batch provides it.
     """
 
+    if impl == "fused":
+        from .models import get_family
+
+        fam = get_family(cfg.model_family)
+        fused_entry = getattr(fam, "serve_fused", None)
+        if fused_entry is None:
+            raise ValueError(
+                f"impl='fused' is not available for model family "
+                f"{cfg.model_family!r} (preset {cfg.name!r}); fused serving "
+                f"supports the LSTM families (seq2seq/cross_user/fusion). "
+                f"Use impl='xla'."
+            )
+
     def serve(past, context=None):
         if impl == "fused":
             from . import windows as W
-            from .models import seq2seq as S
 
             batch = _as_batch(past, context)
             past_n, _, anchor = W.normalize_window(batch["past"])
             kwargs = (extras_fn or default_extras_ref())(batch, anchor)
             xyz = W.denormalize_window(
-                S.serve_fused(
-                    params, cfg.model, past_n,
-                    context=kwargs.get("context"),
-                ),
+                fused_entry(params, cfg.model, past_n, **kwargs),
                 anchor, to_sphere=True,
             )
         else:

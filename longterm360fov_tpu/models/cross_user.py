@@ -32,6 +32,7 @@ __all__ = [
     "apply",
     "apply_fused_tf",
     "apply_fused_ss",
+    "serve_fused",
     "batch_extras",
     "encode_peers",
 ]
@@ -166,6 +167,30 @@ def apply_fused_ss(
     return seq2seq.apply_fused_ss(
         params, cfg, past_n, future_n, rng=rng, teacher_prob=teacher_prob,
         context=context, tile_b=tile_b,
+    )
+
+
+def serve_fused(
+    params: Dict,
+    cfg: Seq2SeqConfig,
+    past_n: jax.Array,
+    *,
+    context: Optional[jax.Array] = None,
+    other_future_n: Optional[jax.Array] = None,
+    other_mask: Optional[jax.Array] = None,
+    tile_b: int = 2048,
+) -> jax.Array:
+    """Whole-request fused serve with peer conditioning: encode peers on
+    the XLA path (tiny vs the decode), then run the fused Pallas serve
+    kernel with the resulting context."""
+    if context is None:
+        if other_future_n is not None:
+            context = encode_peers(params, cfg, other_future_n, other_mask)
+        else:
+            # decoder weights always carry ctx rows when ctx_dim > 0
+            context = jnp.zeros((past_n.shape[0], cfg.ctx_dim), cfg.dtype)
+    return seq2seq.serve_fused(
+        params, cfg, past_n, context=context, tile_b=tile_b
     )
 
 

@@ -35,6 +35,7 @@ __all__ = [
     "apply",
     "apply_fused_tf",
     "apply_fused_ss",
+    "serve_fused",
     "batch_extras",
     "project_features",
     "FEATURE_DIM",
@@ -167,6 +168,35 @@ def apply_fused_ss(
     return seq2seq.apply_fused_ss(
         params, cfg, past_n, future_n, rng=rng, teacher_prob=teacher_prob,
         context=context, tile_b=tile_b,
+    )
+
+
+def serve_fused(
+    params: Dict,
+    cfg: Seq2SeqConfig,
+    past_n: jax.Array,
+    *,
+    context: Optional[jax.Array] = None,
+    features: Optional[jax.Array] = None,
+    maps: Optional[jax.Array] = None,
+    tile_b: int = 2048,
+) -> jax.Array:
+    """Whole-request fused serve with video context: feature projection
+    (and the Pallas conv stack for raw maps) feeds the fused decoder."""
+    if context is None:
+        if maps is not None:
+            from ..features.equirect import conv_features
+
+            features = conv_features(
+                params["conv"], maps, grid=CONV_GRID, use_pallas=True
+            )
+        if features is not None:
+            context = project_features(params, features).astype(cfg.dtype)
+        else:
+            # decoder weights always carry ctx rows when ctx_dim > 0
+            context = jnp.zeros((past_n.shape[0], cfg.ctx_dim), cfg.dtype)
+    return seq2seq.serve_fused(
+        params, cfg, past_n, context=context, tile_b=tile_b
     )
 
 

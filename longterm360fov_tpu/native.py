@@ -42,6 +42,12 @@ def parse_trace_bytes(data: bytes, n_cols: int = 0) -> np.ndarray:
     when built; numpy fallback otherwise. Skips comment/header rows."""
     if _fastio is not None:
         return _fastio.parse_trace(data, n_cols)
+    return _parse_trace_fallback(data, n_cols)
+
+
+def _parse_trace_fallback(data: bytes, n_cols: int = 0) -> np.ndarray:
+    """Pure-numpy reference parser; semantics pinned to native/fastio.c
+    (tests/test_native.py asserts parity)."""
     rows = []
     for line in data.decode("utf-8", "replace").splitlines():
         line = line.strip()
@@ -54,11 +60,13 @@ def parse_trace_bytes(data: bytes, n_cols: int = 0) -> np.ndarray:
             continue
         if n_cols and len(vals) < n_cols:
             continue
-        rows.append(vals[: n_cols or len(vals)])
+        rows.append(vals)
     if not rows:
         return np.zeros((0, n_cols), np.float32)
+    # Same semantics as the C parser: width fixed by n_cols (or inferred
+    # from the first numeric row); longer rows truncated, shorter dropped.
     width = n_cols or len(rows[0])
-    rows = [r for r in rows if len(r) == width]
+    rows = [r[:width] for r in rows if len(r) >= width]
     return np.asarray(rows, np.float32)
 
 

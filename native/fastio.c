@@ -36,6 +36,12 @@ static PyObject *parse_trace(PyObject *self, PyObject *args) {
   Py_ssize_t want_cols = 0; /* 0 = infer from first numeric row */
   if (!PyArg_ParseTuple(args, "y*|n", &buf, &want_cols)) return NULL;
 
+  if (want_cols > 64) {
+    PyBuffer_Release(&buf);
+    PyErr_SetString(PyExc_ValueError, "n_cols > 64 unsupported");
+    return NULL;
+  }
+
   const char *p = (const char *)buf.buf;
   const char *end = p + buf.len;
 
@@ -44,25 +50,55 @@ static PyObject *parse_trace(PyObject *self, PyObject *args) {
   Py_ssize_t n_cols = want_cols, n_rows = 0;
   if (!vals) { PyBuffer_Release(&buf); return PyErr_NoMemory(); }
 
+  /* strtod needs NUL-terminated input, but the Py_buffer (bytearray /
+   * memoryview / mmap accepted by y*) is not guaranteed to be — copy each
+   * line into a growing NUL-terminated scratch before tokenizing. */
+  size_t scratch_cap = 256;
+  char *scratch = (char *)malloc(scratch_cap);
+  if (!scratch) { free(vals); PyBuffer_Release(&buf); return PyErr_NoMemory(); }
+
   double row[64];
   while (p < end) {
     /* one line */
     const char *eol = memchr(p, '\n', (size_t)(end - p));
     if (!eol) eol = end;
     /* skip comments / blank */
-    const char *q = p;
-    while (q < eol && is_sep(*q)) q++;
-    if (q >= eol || *q == '#') { p = eol + 1; continue; }
+    const char *s = p;
+    while (s < eol && is_sep(*s)) s++;
+    if (s >= eol || *s == '#') { p = eol + 1; continue; }
 
-    Py_ssize_t c = 0;
+    size_t line_len = (size_t)(eol - s);
+    if (line_len + 1 > scratch_cap) {
+      while (line_len + 1 > scratch_cap) scratch_cap *= 2;
+      char *ns = (char *)realloc(scratch, scratch_cap);
+      if (!ns) {
+        free(scratch); free(vals); PyBuffer_Release(&buf);
+        return PyErr_NoMemory();
+      }
+      scratch = ns;
+    }
+    memcpy(scratch, s, line_len);
+    scratch[line_len] = '\0';
+
+    const char *q = scratch, *qend = scratch + line_len;
+    Py_ssize_t c = 0; /* total numeric tokens on the line */
     int bad = 0;
-    while (q < eol && c < 64) {
+    while (q < qend) {
       char *next;
       double v = strtod(q, &next);
-      if (next == q) { bad = 1; break; } /* non-numeric token */
-      row[c++] = v;
+      if (next == q) { bad = 1; break; } /* non-numeric token → drop row */
+      if (c < 64) row[c] = v;            /* store first 64, validate all */
+      c++;
       q = next;
-      while (q < eol && is_sep(*q)) q++;
+      while (q < qend && is_sep(*q)) q++;
+    }
+    if (!bad && n_cols == 0 && c > 64) {
+      /* column count must be inferred from this row but it exceeds the
+       * row buffer: make the cap explicit instead of silently truncating */
+      free(scratch); free(vals); PyBuffer_Release(&buf);
+      PyErr_SetString(PyExc_ValueError,
+                      "row has more than 64 numeric columns; pass n_cols");
+      return NULL;
     }
     if (!bad && c > 0) {
       if (n_cols == 0) n_cols = c;
@@ -70,7 +106,10 @@ static PyObject *parse_trace(PyObject *self, PyObject *args) {
         if (n_vals + (size_t)n_cols > cap) {
           while (n_vals + (size_t)n_cols > cap) cap *= 2;
           double *nv = (double *)realloc(vals, cap * sizeof(double));
-          if (!nv) { free(vals); PyBuffer_Release(&buf); return PyErr_NoMemory(); }
+          if (!nv) {
+            free(scratch); free(vals); PyBuffer_Release(&buf);
+            return PyErr_NoMemory();
+          }
           vals = nv;
         }
         memcpy(vals + n_vals, row, (size_t)n_cols * sizeof(double));
@@ -80,6 +119,7 @@ static PyObject *parse_trace(PyObject *self, PyObject *args) {
     }
     p = eol + 1;
   }
+  free(scratch);
   PyBuffer_Release(&buf);
 
   npy_intp dims[2] = {n_rows, n_cols ? n_cols : 0};

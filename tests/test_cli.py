@@ -67,6 +67,68 @@ def test_train_data_parallel(tmp_path, capsys):
     assert np.isfinite(metrics["loss"])
 
 
+def test_eval_uses_paired_test_split(tmp_path):
+    from longterm360fov_tpu.config import get_preset
+
+    data = str(tmp_path / "win.npz")
+    cli.main(
+        ["prepare-data", "--out", data, "--h-in", "10", "--h-out", "10",
+         "--n-users", "2", "--n-videos", "1", "--n-frames", "200"]
+    )
+
+    class A:
+        pass
+
+    a = A()
+    a.data = data
+    cfg = get_preset("lstm-xyz-10")
+    train_d, test_d = cli._load_or_synth_data(a, cfg)
+    held = np.load(data.replace(".npz", "") + "_test.npz")
+    # eval split must be the time-held-out file, not an index re-split
+    assert test_d["past"].shape == held["past"].shape
+    np.testing.assert_array_equal(test_d["past"], held["past"])
+    # and the train split is the FULL train file (nothing shaved off)
+    full = np.load(data)
+    assert train_d["past"].shape == full["past"].shape
+
+
+def test_eval_rejects_wrong_model_config(tmp_path, capsys):
+    import pytest
+
+    data = str(tmp_path / "win.npz")
+    cli.main(
+        ["prepare-data", "--out", data, "--h-in", "10", "--h-out", "10",
+         "--n-users", "2", "--n-videos", "1", "--n-frames", "200"]
+    )
+    ckpt = str(tmp_path / "ck")
+    cli.main(
+        ["train", "--preset", "lstm-xyz-10", "--data", data,
+         "--steps", "2", "--batch-size", "16", "--ckpt-dir", ckpt]
+    )
+    capsys.readouterr()
+    # different architecture/family → hard error, not a silent restore
+    with pytest.raises(SystemExit, match="model-config hash mismatch"):
+        cli.main(
+            ["eval", "--preset", "seq2seq-tf-30", "--ckpt-dir", ckpt,
+             "--data", data, "--json"]
+        )
+
+
+def test_fused_impl_rejects_transformer():
+    import jax
+    import pytest
+
+    from longterm360fov_tpu import infer
+    from longterm360fov_tpu.config import get_preset
+    from longterm360fov_tpu.models import get_family
+
+    cfg = get_preset("transformer-10s")
+    fam = get_family(cfg.model_family)
+    params = fam.init(jax.random.PRNGKey(0), cfg.model)
+    with pytest.raises(ValueError, match="fused"):
+        infer.make_predict_fn(params, cfg, fam.apply, impl="fused")
+
+
 def test_export_roundtrip(tmp_path, capsys):
     data = str(tmp_path / "w.npz")
     cli.main(

@@ -88,3 +88,22 @@ def test_cross_user_trains_and_beats_no_context():
     )
     assert np.isfinite(res["mean_deg"])
     assert hist[-1]["loss"] < 0.1, hist
+
+
+def test_serve_fused_encodes_peers():
+    """Family serve_fused must compute peer context, not drop it: parity
+    with the XLA apply() decode on the same peer inputs."""
+    cfg = _cfg(hidden=128, ctx_dim=8)
+    params = CU.init(jax.random.PRNGKey(7), cfg)
+    rng = np.random.default_rng(7)
+    past = jnp.asarray(rng.normal(size=(8, 5, 3)).astype(np.float32) * 0.1)
+    others = jnp.asarray(rng.normal(size=(8, 3, 4, 3)).astype(np.float32) * 0.1)
+    mask = jnp.ones((8, 3))
+    ref = CU.apply(params, cfg, past, other_future_n=others, other_mask=mask)
+    out = CU.serve_fused(
+        params, cfg, past, other_future_n=others, other_mask=mask, tile_b=8
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    # and it must differ from the no-peer rollout (context actually used)
+    out_nopeer = CU.serve_fused(params, cfg, past, tile_b=8)
+    assert not np.allclose(np.asarray(out), np.asarray(out_nopeer))

@@ -120,3 +120,18 @@ def test_maps_mode_forward_changes_output():
     y_maps = F.apply(params, cfg, past, maps=maps)
     y_none = F.apply(params, cfg, past)
     assert not np.allclose(np.asarray(y_maps), np.asarray(y_none))
+
+
+def test_serve_fused_projects_features():
+    """Family serve_fused must project video features into context:
+    parity with the XLA apply() decode on the same features."""
+    cfg = _cfg(hidden=128, ctx_dim=8)
+    params = F.init(jax.random.PRNGKey(7), cfg, feature_dim=16)
+    rng = np.random.default_rng(7)
+    past = jnp.asarray(rng.normal(size=(8, 5, 3)).astype(np.float32) * 0.1)
+    feats = jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32))
+    ref = F.apply(params, cfg, past, features=feats)
+    out = F.serve_fused(params, cfg, past, features=feats, tile_b=8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    out_nofeat = F.serve_fused(params, cfg, past, tile_b=8)
+    assert not np.allclose(np.asarray(out), np.asarray(out_nofeat))

@@ -24,6 +24,39 @@ def test_parse_trace_whitespace_and_truncation():
     np.testing.assert_allclose(arr[1], [0.1, 4, 5, 6], atol=1e-6)
 
 
+def test_parse_trace_native_fallback_parity():
+    cases = [
+        (b"# c\n1 2 3\n4 5\n6 7 8 9\n", 0),      # short dropped, long truncated
+        (b"1 2 3\n4 5 junk\n7 8 9\n", 0),        # non-numeric token drops row
+        (b"1.0 2.0 3.0\n4.0 5.0 6.5", 0),        # no trailing newline
+        (b"0,1,2,3,4\n5,6,7,8,9,10\n", 3),       # explicit n_cols truncation
+        (b"", 4),
+    ]
+    for data, n_cols in cases:
+        a = N._parse_trace_fallback(data, n_cols)
+        b = N.parse_trace_bytes(data, n_cols)
+        np.testing.assert_array_equal(a, b, err_msg=f"case {data!r}")
+
+
+@pytest.mark.skipif(not N.HAVE_NATIVE, reason="extension not built")
+def test_parse_trace_unterminated_memoryview():
+    # y* accepts non-bytes buffers that are not NUL-terminated; the parser
+    # must not strtod past the end of the buffer (copies lines to scratch).
+    buf = bytearray(b"1.0 2.0 3.0\n4.0 5.0 6.5")
+    arr = N.parse_trace_bytes(memoryview(buf))
+    assert arr.shape == (2, 3)
+    np.testing.assert_allclose(arr[1], [4.0, 5.0, 6.5], atol=1e-6)
+
+
+@pytest.mark.skipif(not N.HAVE_NATIVE, reason="extension not built")
+def test_parse_trace_over_64_columns():
+    row = (" ".join(str(i) for i in range(70))).encode()
+    with pytest.raises(ValueError):
+        N.parse_trace_bytes(row)  # inference impossible: explicit error
+    arr = N.parse_trace_bytes(row, 5)  # explicit n_cols: truncates fine
+    assert arr.shape == (1, 5)
+
+
 def test_window_copy_matches_numpy():
     rng = np.random.default_rng(0)
     trace = rng.normal(size=(50, 3)).astype(np.float32)
