@@ -37,7 +37,7 @@ from jax import lax
 
 from .seq2seq import Seq2SeqConfig
 
-__all__ = ["init", "apply", "batch_extras"]
+__all__ = ["init", "apply", "serve_fused", "batch_extras"]
 
 N_HEADS = 4
 MLP_MULT = 4
@@ -380,6 +380,46 @@ def _ar_decode(params, cfg, enc_mem, peer_mem, peer_valid, y0):
 
     (_, _), ys = lax.scan(step, (cache0, y0), jnp.arange(t_out))
     return jnp.swapaxes(ys, 0, 1).astype(jnp.float32)
+
+
+def serve_fused(
+    params: Dict,
+    cfg: Seq2SeqConfig,
+    past_n: jax.Array,
+    *,
+    context: Optional[jax.Array] = None,
+    other_future_n: Optional[jax.Array] = None,
+    other_mask: Optional[jax.Array] = None,
+    tile_b: int = 128,
+    compute_dtype=None,
+) -> jax.Array:
+    """Serving AR decode through the fused whole-horizon Pallas kernel
+    (ops.transformer_decode): encoder runs as one XLA parallel pass,
+    then the entire 100-step rollout — all layers, self+cross attention
+    with VMEM-resident KV caches, MLPs, feedback — is ONE kernel.
+
+    Peer (cross-viewer) attention multiplies the resident-cache
+    footprint by K peers and is served by the XLA scan path instead
+    (exact, slower); see ops/transformer_decode.py for the escalation
+    plan if peer serving ever becomes hot.
+    """
+    del context
+    if other_future_n is not None:
+        return apply(
+            params, cfg, past_n,
+            other_future_n=other_future_n, other_mask=other_mask,
+        )
+    from ..ops.transformer_decode import fused_ar_decode
+
+    if compute_dtype is None:
+        compute_dtype = (
+            jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+        )
+    enc_mem = _encode(params, cfg, past_n)
+    y0 = past_n[:, -1, :].astype(cfg.dtype)
+    return fused_ar_decode(
+        params, cfg, enc_mem, y0, tile_b=tile_b, compute_dtype=compute_dtype
+    )
 
 
 def batch_extras(batch: Dict, anchor) -> Dict:

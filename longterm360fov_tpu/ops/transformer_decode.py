@@ -1,0 +1,444 @@
+"""Fused transformer autoregressive-decode kernel (the round-2 perf
+target: docs/transformer_flash_decode_design.md; TODO.md "Transformer
+DECODE Pallas tier").
+
+Problem (measured, round 1): the XLA `lax.scan` KV-cached decode of
+`transformer-10s` at b4096/100 frames took 1239 ms vs 120 ms for the
+parallel causal pass — the per-step chain of ~30 small XLA ops × 4
+layers round-trips every (B,128) intermediate through HBM and re-reads
+the KV caches from HBM every step.
+
+TPU-native design — measured VMEM on this v5e admits ~100 MB of
+scratch, which changes the design from the doc's HBM-streaming flash
+decode to something strictly better:
+
+* EVERYTHING IS VMEM-RESIDENT. Self-attention KV caches AND the static
+  encoder (cross-attention) K/V live in VMEM scratch for the whole
+  rollout (~59 MB bf16 at tile_b=128, T=100, L=4, H=128). HBM sees the
+  cross K/V once in (one 29 MB DMA per batch tile), the first token in,
+  and the trajectory once out. Zero per-step HBM traffic.
+* FEATURE-MAJOR LAYOUT, lanes = batch. Activations are (H, B) and
+  caches (H, T, B) with the batch tile (128) on the lane axis — no lane
+  padding anywhere (cf. the (D,T,B) rationale in ops/fused_lstm.py).
+  Matmuls run transposed (Wᵀ @ x) with M = H = 128 sublanes and
+  N = B = 128 lanes: full MXU tiles.
+* Attention is VPU work: per head, logits = Σ_h q·k as an elementwise
+  multiply + sublane reduction over the (head, T, B) cache slice;
+  softmax reduces over T (a sublane axis); the value contraction is the
+  same pattern. No per-batch matvec ever touches the MXU.
+* Per-step PRECISION: f32 residual stream, f32 gate accumulation
+  (preferred_element_type), caches/weights in compute_dtype (bf16 on
+  TPU by default; f32 for the parity tests, which run in interpret
+  mode where VMEM limits don't apply).
+
+Peers: cross-viewer (peer) attention multiplies the resident-memory
+footprint by K and is served by the XLA scan path instead
+(models.transformer.serve_fused falls back); streaming peer blocks
+through this kernel is the documented escalation if peer-serving ever
+becomes hot.
+
+Semantics match models.transformer._ar_decode exactly (parity test in
+tests/test_transformer_decode.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.seq2seq import Seq2SeqConfig
+
+__all__ = ["fused_ar_decode"]
+
+N_HEADS = 4  # matches models.transformer.N_HEADS
+MLP_MULT = 4
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _pick_tile(batch: int, want: int) -> int:
+    """Largest legal batch tile ≤ want (lane dim must be a multiple of
+    128 or the full array dim — same rule as ops/fused_lstm.py)."""
+    if want >= batch:
+        return batch
+    t = min(want, batch) // 128 * 128
+    while t >= 128:
+        if batch % t == 0:
+            return t
+        t -= 128
+    return batch
+
+
+def _decode_kernel(
+    *refs,
+    n_layers: int,
+    t_in: int,
+    t_out: int,
+    t_in_pad: int,
+    t_out_pad: int,
+    hidden: int,
+    d: int,
+    tile_b: int,
+    compute_dtype,
+):
+    """refs layout:
+    inputs (all vectors pre-transposed to column form (…, H, 1) so they
+    broadcast over the lane=batch axis without in-kernel relayouts):
+      cross_kv  (n_tiles, L, 2, H, T_in_pad, tile_b) ANY (HBM; one DMA/tile)
+      y0        (D, B) f32 — last observed position per viewer
+      attn_w    (L, 6, H, H)   [wqᵀ,wkᵀ,wvᵀ,woᵀ self, wqᵀ,woᵀ cross]
+      mlp_w1    (L, 4H, H) ᵀ   mlp_b1 (L, 4H, 1)
+      mlp_w2    (L, H, 4H) ᵀ   mlp_b2 (L, H, 1)
+      ln_w      (L, 3, 2, H, 1)   [ln1, ln2, ln4] × [scale, bias]
+      fin_ln    (2, H, 1)
+      w_in      (H, D) ᵀ of in_proj
+      w_out     (D, H) ᵀ of out_proj;  b_out (D, 1)
+      pos       (H, T_out) f32 positional encoding, transposed
+    outputs:
+      ys        (D, T_out, B) f32
+    scratch:
+      cross_s   (L, 2, H, T_in_pad, tile_b) compute_dtype
+      k_s, v_s  (H, T_out_pad, tile_b) compute_dtype × L each (self KV;
+                kept 3-D per layer — dynamic sublane stores into refs
+                with extra leading dims miscompiled on this Mosaic
+                build: wrong rows for some (t, T_pad) combinations)
+      y_s       (D, tile_b) f32 fed-back token
+      sem       DMA semaphore
+    """
+    it = iter(refs)
+    cross_ref = next(it)
+    y0_ref = next(it)
+    attn_w = next(it)
+    mlp_w1 = next(it)
+    mlp_b1 = next(it)
+    mlp_w2 = next(it)
+    mlp_b2 = next(it)
+    ln_w = next(it)
+    fin_ln = next(it)
+    w_in = next(it)
+    w_out = next(it)
+    b_out = next(it)
+    pos_ref = next(it)
+    ys_ref = next(it)
+    cross_s = next(it)
+    k_s = [next(it) for _ in range(n_layers)]
+    v_s = [next(it) for _ in range(n_layers)]
+    y_s = next(it)
+    sem = next(it)
+
+    i = pl.program_id(0)
+    # one bulk DMA per batch tile: static cross K/V HBM → VMEM
+    dma = pltpu.make_async_copy(cross_ref.at[i], cross_s, sem)
+    dma.start()
+    # zero the self KV cache while the DMA flies: positions > t are
+    # masked out of the softmax, but the value contraction still reads
+    # them, and garbage * 0 = NaN when the garbage is NaN/inf
+    for l in range(n_layers):
+        k_s[l][:] = jnp.zeros_like(k_s[l])
+        v_s[l][:] = jnp.zeros_like(v_s[l])
+    dma.wait()
+
+    y_s[:] = y0_ref[:]
+
+    head = hidden // N_HEADS
+    scale = 1.0 / (head**0.5)
+
+    def ln(x, scale_b, bias_b):
+        # x (H, B) f32, scale/bias (H, 1); LN over the feature axis
+        mu = jnp.mean(x, axis=0, keepdims=True)
+        var = jnp.mean((x - mu) ** 2, axis=0, keepdims=True)
+        return (x - mu) * lax.rsqrt(var + 1e-6) * scale_b + bias_b
+
+    # The f32 tier is a TRUE f32 mode: without an explicit precision the
+    # MXU runs f32 matmuls as bf16 passes whose rounding differs between
+    # Mosaic and XLA (measured ~1e-2 drift over a 100-step rollout vs
+    # ~1e-6 at HIGHEST). bf16 inputs are single-pass either way.
+    prec = (
+        lax.Precision.HIGHEST
+        if compute_dtype == jnp.float32
+        else lax.Precision.DEFAULT
+    )
+
+    def mm(w, x):
+        # (M, H) @ (H, B) -> (M, B); full-width MXU (M, B multiples of 128)
+        return jnp.dot(
+            w, x.astype(compute_dtype),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+
+    def attend(q, k_read, v_read, n_valid, t_step, causal):
+        """q (H, B) f32 → attention output (H, B) f32. ``k_read``/
+        ``v_read``: head-slice → (head, T_pad, B) cache view. Per-head
+        VPU flash pattern: logits and the value contraction are
+        elementwise multiplies + sublane reductions — per-viewer
+        attention never becomes an MXU matvec."""
+        outs = []
+        t_pad = k_read(slice(0, head)).shape[1]
+        t_ids = lax.broadcasted_iota(jnp.int32, (t_pad, tile_b), 0)
+        if causal:
+            valid = t_ids <= t_step
+        else:
+            valid = t_ids < n_valid
+        for n in range(N_HEADS):
+            sl = slice(n * head, (n + 1) * head)
+            qh = q[sl, :] * scale  # (head, B)
+            kh = k_read(sl)  # (head, T_pad, B)
+            logits = jnp.sum(qh[:, None, :] * kh, axis=0)  # (T_pad, B) f32
+            logits = jnp.where(valid, logits, -1e9)
+            m = jnp.max(logits, axis=0, keepdims=True)
+            w = jnp.exp(logits - m)
+            w = w / jnp.sum(w, axis=0, keepdims=True)
+            vh = v_read(sl)  # (head, T_pad, B)
+            outs.append(jnp.sum(w[None, :, :] * vh, axis=1))  # (head, B)
+        return jnp.concatenate(outs, axis=0)  # (H, B)
+
+    pos_ids = lax.broadcasted_iota(jnp.int32, (1, t_out), 1)  # (1, T_out)
+
+    def put_row(ref, t, val):
+        """Append val (H, B) at cache row t. f32 allows an unaligned
+        dynamic sublane store; packed bf16 rows need 8-aligned stores,
+        so do an aligned 8-row read-modify-write of the tile holding t."""
+        if ref.dtype == jnp.float32:
+            ref[:, pl.ds(t, 1), :] = val[:, None, :].astype(ref.dtype)
+        else:
+            base = pl.multiple_of((t // 8) * 8, 8)
+            blk = ref[:, pl.ds(base, 8), :]
+            row = lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1) + base
+            ref[:, pl.ds(base, 8), :] = jnp.where(
+                row == t, val[:, None, :].astype(ref.dtype), blk
+            )
+
+    def step(t, _):
+        # token embed + positional encoding; the pos column is selected
+        # with a masked lane-reduction (dynamic slicing of the lane axis
+        # is not Mosaic-legal; this is H×T_out VPU work, trivial)
+        pos_col = jnp.sum(
+            jnp.where(pos_ids == t, pos_ref[:], 0.0), axis=1, keepdims=True
+        )
+        x = mm(w_in[:], y_s[:]) + pos_col
+        for l in range(n_layers):
+            # -- self attention (k/v from LN1(x), appended to cache) --
+            h_in = ln(x, ln_w[l, 0, 0], ln_w[l, 0, 1])
+            q = mm(attn_w[l, 0], h_in)
+            k = mm(attn_w[l, 1], h_in)
+            v = mm(attn_w[l, 2], h_in)
+            put_row(k_s[l], t, k)
+            put_row(v_s[l], t, v)
+            att = attend(
+                q,
+                lambda sl: k_s[l][sl, :, :],
+                lambda sl: v_s[l][sl, :, :],
+                t_out, t, causal=True,
+            )
+            x = x + mm(attn_w[l, 3], att)
+            # -- cross attention over the resident encoder K/V --
+            qc = mm(attn_w[l, 4], ln(x, ln_w[l, 1, 0], ln_w[l, 1, 1]))
+            attc = attend(
+                qc,
+                lambda sl: cross_s[l, 0, sl, :, :],
+                lambda sl: cross_s[l, 1, sl, :, :],
+                t_in, t, causal=False,
+            )
+            x = x + mm(attn_w[l, 5], attc)
+            # -- mlp --
+            h1 = jax.nn.gelu(
+                mm(mlp_w1[l], ln(x, ln_w[l, 2, 0], ln_w[l, 2, 1]))
+                + mlp_b1[l]
+            )
+            x = x + mm(mlp_w2[l], h1) + mlp_b2[l]
+        xf = ln(x, fin_ln[0], fin_ln[1])
+        y = mm(w_out[:], xf) + b_out[:]  # (D, B)
+        ys_ref[:, pl.ds(t, 1), :] = y[:, None, :].astype(ys_ref.dtype)
+        y_s[:] = y
+        return 0
+
+    lax.fori_loop(0, t_out, step, 0)
+
+
+def _pack_weights(params: Dict, cfg: Seq2SeqConfig, compute_dtype):
+    """Transpose + stack decoder weights into the kernel's feature-major
+    layout (lanes = batch ⇒ matmuls run Wᵀ @ x)."""
+    h = cfg.hidden
+
+    def T(w):  # noqa: N802
+        return jnp.asarray(w, jnp.float32).T
+
+    attn_w, mlp_w1, mlp_b1, mlp_w2, mlp_b2, ln_w = [], [], [], [], [], []
+    for layer in params["dec"]:
+        sa, ca = layer["self_attn"], layer["cross_attn"]
+        attn_w.append(
+            jnp.stack([T(sa["wq"]), T(sa["wk"]), T(sa["wv"]), T(sa["wo"]),
+                       T(ca["wq"]), T(ca["wo"])])
+        )
+        mlp_w1.append(T(layer["mlp"]["w1"]))
+        mlp_b1.append(jnp.asarray(layer["mlp"]["b1"], jnp.float32)[:, None])
+        mlp_w2.append(T(layer["mlp"]["w2"]))
+        mlp_b2.append(jnp.asarray(layer["mlp"]["b2"], jnp.float32)[:, None])
+        ln_w.append(
+            jnp.stack(
+                [
+                    jnp.stack([layer["ln1"]["scale"], layer["ln1"]["bias"]]),
+                    jnp.stack([layer["ln2"]["scale"], layer["ln2"]["bias"]]),
+                    jnp.stack([layer["ln4"]["scale"], layer["ln4"]["bias"]]),
+                ]
+            ).astype(jnp.float32)[..., None]  # (3, 2, H, 1)
+        )
+    fin_ln = jnp.stack(
+        [params["final_ln"]["scale"], params["final_ln"]["bias"]]
+    ).astype(jnp.float32)[..., None]  # (2, H, 1)
+    return {
+        "attn_w": jnp.stack(attn_w).astype(compute_dtype),
+        "mlp_w1": jnp.stack(mlp_w1).astype(compute_dtype),
+        "mlp_b1": jnp.stack(mlp_b1),
+        "mlp_w2": jnp.stack(mlp_w2).astype(compute_dtype),
+        "mlp_b2": jnp.stack(mlp_b2),
+        "ln_w": jnp.stack(ln_w),
+        "fin_ln": fin_ln,
+        "w_in": T(params["in_proj"]).astype(compute_dtype),  # (H, D)
+        "w_out": T(params["out_proj"]["w"]).astype(compute_dtype),  # (D, H)
+        "b_out": jnp.asarray(params["out_proj"]["b"], jnp.float32)[:, None],
+    }
+
+
+def fused_ar_decode(
+    params: Dict,
+    cfg: Seq2SeqConfig,
+    enc_mem: jax.Array,  # (B, T_in, H) encoder memory (XLA _encode output)
+    y0: jax.Array,  # (B, D) last observed position
+    *,
+    tile_b: int = 128,
+    compute_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Whole-horizon fused AR decode → (B, h_out, D) f32.
+
+    Cross K/V are projected from enc_mem OUTSIDE the kernel (two big
+    MXU matmuls per layer over all T_in tokens at once), laid out
+    feature-major + batch-tiled, and DMA'd once per tile; everything
+    else happens inside one pallas_call.
+    """
+    b_orig = enc_mem.shape[0]
+    if not _interpret() and b_orig % 128 != 0:
+        # the per-tile HBM DMA needs a 128-aligned lane (batch) dim;
+        # pad small/odd batches with zero viewers and slice them off
+        b_pad = _round_up(b_orig, 128)
+        enc_mem = jnp.pad(
+            enc_mem, ((0, b_pad - b_orig), (0, 0), (0, 0))
+        )
+        y0 = jnp.pad(y0, ((0, b_pad - b_orig), (0, 0)))
+    b, t_in, h = enc_mem.shape
+    d = y0.shape[-1]
+    t_out = cfg.h_out
+    n_layers = len(params["dec"])
+    # sublane granularity of the (·, T, B) cache layouts
+    gran = 16 if compute_dtype == jnp.bfloat16 else 8
+    t_in_pad = _round_up(t_in, gran)
+    t_out_pad = _round_up(t_out, gran)
+    tile_b = _pick_tile(b, tile_b)
+    n_tiles = b // tile_b
+
+    w = _pack_weights(params, cfg, compute_dtype)
+
+    # static cross-attention K/V: (L, 2, H, T_in_pad, B) → batch-tiled
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if compute_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    ckv = []
+    for layer in params["dec"]:
+        ca = layer["cross_attn"]
+        ck = jnp.dot(enc_mem, ca["wk"],
+                     preferred_element_type=jnp.float32, precision=prec)
+        cv = jnp.dot(enc_mem, ca["wv"],
+                     preferred_element_type=jnp.float32, precision=prec)
+        ckv.append(jnp.stack([ck, cv]))  # (2, B, T_in, H)
+    cross = jnp.stack(ckv)  # (L, 2, B, T_in, H)
+    cross = jnp.transpose(cross, (0, 1, 4, 3, 2)).astype(compute_dtype)
+    cross = jnp.pad(
+        cross, ((0, 0), (0, 0), (0, 0), (0, t_in_pad - t_in), (0, 0))
+    )
+    # pre-tile the batch axis so the per-tile DMA is one contiguous block
+    cross = jnp.transpose(
+        cross.reshape(n_layers, 2, h, t_in_pad, n_tiles, tile_b),
+        (4, 0, 1, 2, 3, 5),
+    )  # (n_tiles, L, 2, H, T_in_pad, tile_b)
+
+    pos = _pos_enc_t(t_out, h)  # (H, T_out) f32
+
+    kernel = functools.partial(
+        _decode_kernel,
+        n_layers=n_layers,
+        t_in=t_in,
+        t_out=t_out,
+        t_in_pad=t_in_pad,
+        t_out_pad=t_out_pad,
+        hidden=h,
+        d=d,
+        tile_b=tile_b,
+        compute_dtype=compute_dtype,
+    )
+
+    def inv_spec(arr):  # grid-invariant whole-array VMEM block
+        return pl.BlockSpec(
+            arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM
+        )
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),  # cross (manual DMA)
+        pl.BlockSpec((d, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM),
+    ]
+    inputs = [cross, jnp.transpose(y0.astype(jnp.float32), (1, 0))]
+    for key in ("attn_w", "mlp_w1", "mlp_b1", "mlp_w2", "mlp_b2", "ln_w",
+                "fin_ln", "w_in", "w_out", "b_out"):
+        in_specs.append(inv_spec(w[key]))
+        inputs.append(w[key])
+    in_specs.append(inv_spec(pos))
+    inputs.append(pos)
+
+    vmem_bytes = (
+        2 * n_layers * 2 * h * max(t_in_pad, t_out_pad) * tile_b
+        * (2 if compute_dtype == jnp.bfloat16 else 4)
+        + 24 * 1024 * 1024  # weights + temporaries headroom
+    )
+    ys = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        out_shape=jax.ShapeDtypeStruct((d, t_out, b), jnp.float32),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (d, t_out, tile_b), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n_layers, 2, h, t_in_pad, tile_b), compute_dtype),
+            *[
+                pltpu.VMEM((h, t_out_pad, tile_b), compute_dtype)
+                for _ in range(2 * n_layers)
+            ],
+            pltpu.VMEM((d, tile_b), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(vmem_bytes, 120 * 1024 * 1024)
+        ),
+        interpret=_interpret(),
+    )(*inputs)
+    return jnp.transpose(ys, (2, 1, 0))[:b_orig]  # (B, T_out, D)
+
+
+def _pos_enc_t(t: int, h: int) -> jax.Array:
+    """models.transformer._pos_enc transposed to (H, T) f32."""
+    from ..models.transformer import _pos_enc
+
+    return _pos_enc(t, h).T.astype(jnp.float32)

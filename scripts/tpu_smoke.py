@@ -88,6 +88,33 @@ def main():
         ref=g_ref, atol=5e-4,
     )
 
+    # transformer fused AR decode
+    from longterm360fov_tpu.models import transformer as TR
+    from longterm360fov_tpu.ops.transformer_decode import fused_ar_decode
+
+    tcfg = S.Seq2SeqConfig(d=3, hidden=128, layers=2, h_in=6, h_out=9)
+    tparams = TR.init(jax.random.PRNGKey(2), tcfg)
+    # the kernel's f32 tier pins Precision.HIGHEST; build the XLA
+    # reference at the same precision (default = bf16 MXU passes whose
+    # rounding differs between Mosaic and XLA)
+    with jax.default_matmul_precision("highest"):
+        tref = jax.block_until_ready(TR.apply(tparams, tcfg, past))
+        tenc = jax.block_until_ready(TR._encode(tparams, tcfg, past))
+    check(
+        "transformer_decode f32",
+        lambda: fused_ar_decode(
+            tparams, tcfg, tenc, past[:, -1, :], compute_dtype=jnp.float32
+        ),
+        ref=tref, atol=5e-5,
+    )
+    check(
+        "transformer_decode bf16",
+        lambda: fused_ar_decode(
+            tparams, tcfg, tenc, past[:, -1, :], compute_dtype=jnp.bfloat16
+        ),
+        ref=tref, atol=0.08,
+    )
+
     # conv+resize
     frames = jnp.asarray(rng.normal(size=(3, 48, 96)).astype(np.float32))
     k = jnp.asarray(rng.normal(size=(4, 3, 3)).astype(np.float32))

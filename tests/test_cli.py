@@ -114,15 +114,20 @@ def test_eval_rejects_wrong_model_config(tmp_path, capsys):
         )
 
 
-def test_fused_impl_rejects_transformer():
+def test_fused_impl_rejects_family_without_kernel():
     import jax
     import pytest
 
     from longterm360fov_tpu import infer
     from longterm360fov_tpu.config import get_preset
-    from longterm360fov_tpu.models import get_family
+    from longterm360fov_tpu.models import get_family, register
 
-    cfg = get_preset("transformer-10s")
+    @register("no-kernel-family")
+    class _Fam:
+        init = staticmethod(lambda key, cfg: {})
+        apply = staticmethod(lambda *a, **k: None)
+
+    cfg = get_preset("lstm-xyz-10").replace(model_family="no-kernel-family")
     fam = get_family(cfg.model_family)
     params = fam.init(jax.random.PRNGKey(0), cfg.model)
     with pytest.raises(ValueError, match="fused"):

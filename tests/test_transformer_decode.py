@@ -1,0 +1,101 @@
+"""Fused transformer AR-decode kernel parity (SURVEY.md §4 "Kernel
+parity"): ops.transformer_decode.fused_ar_decode vs the XLA scan decode
+models.transformer._ar_decode, plus the family/serving wiring."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from longterm360fov_tpu.models import transformer as TR
+from longterm360fov_tpu.models.seq2seq import Seq2SeqConfig
+from longterm360fov_tpu.ops.transformer_decode import fused_ar_decode
+
+
+def _setup(layers=2, h_in=6, h_out=7, b=8, seed=0):
+    cfg = Seq2SeqConfig(d=3, hidden=128, layers=layers, h_in=h_in, h_out=h_out)
+    params = TR.init(jax.random.PRNGKey(seed), cfg)
+    rng = np.random.default_rng(seed)
+    past = jnp.asarray(rng.normal(size=(b, h_in, 3)).astype(np.float32) * 0.1)
+    return cfg, params, past
+
+
+@pytest.mark.parametrize(
+    "layers,h_in,h_out,b", [(1, 4, 3, 8), (2, 6, 7, 8), (2, 5, 9, 16)]
+)
+def test_fused_ar_decode_parity(layers, h_in, h_out, b):
+    cfg, params, past = _setup(layers, h_in, h_out, b, seed=layers)
+    ref = TR.apply(params, cfg, past)  # XLA KV-cached scan decode
+    enc = TR._encode(params, cfg, past)
+    out = fused_ar_decode(
+        params, cfg, enc, past[:, -1, :], compute_dtype=jnp.float32
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=3e-5,
+        err_msg=f"fused decode mismatch L{layers} {h_in}->{h_out}",
+    )
+
+
+def test_fused_ar_decode_batch_tiling():
+    cfg, params, past = _setup(b=16, seed=3)
+    ref = TR.apply(params, cfg, past)
+    enc = TR._encode(params, cfg, past)
+    out = fused_ar_decode(
+        params, cfg, enc, past[:, -1, :], tile_b=8, compute_dtype=jnp.float32
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_fused_ar_decode_bf16_close():
+    """bf16 caches/weights drift but must stay close on short horizons
+    (same contract as the LSTM fused_serve bf16 tier)."""
+    cfg, params, past = _setup(h_out=5, seed=4)
+    ref = TR.apply(params, cfg, past)
+    enc = TR._encode(params, cfg, past)
+    out = fused_ar_decode(
+        params, cfg, enc, past[:, -1, :], compute_dtype=jnp.bfloat16
+    )
+    assert float(jnp.abs(out - ref).max()) < 0.08
+
+
+def test_transformer_serve_fused_family_entry():
+    """models.transformer.serve_fused == XLA AR decode; with peers it
+    must fall back to the exact XLA path (peer attention included)."""
+    cfg, params, past = _setup(seed=5)
+    ref = TR.apply(params, cfg, past)
+    out = TR.serve_fused(params, cfg, past, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+    rng = np.random.default_rng(5)
+    others = jnp.asarray(rng.normal(size=(8, 2, 7, 3)).astype(np.float32) * 0.1)
+    mask = jnp.ones((8, 2))
+    ref_p = TR.apply(params, cfg, past, other_future_n=others, other_mask=mask)
+    out_p = TR.serve_fused(
+        params, cfg, past, other_future_n=others, other_mask=mask
+    )
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(ref_p), atol=1e-6)
+
+
+def test_transformer_fused_predict_fn():
+    """End-to-end serving route: infer.make_predict_fn(impl='fused')
+    for the transformer family (normalize → kernel → denormalize)."""
+    from longterm360fov_tpu import infer
+    from longterm360fov_tpu.config import get_preset
+    from longterm360fov_tpu.models import get_family
+
+    cfg = get_preset(
+        "transformer-10s",
+        model_h_in=6, model_h_out=7, model_layers=1,
+    )
+    fam = get_family(cfg.model_family)
+    params = fam.init(jax.random.PRNGKey(0), cfg.model)
+    rng = np.random.default_rng(0)
+    past = rng.normal(size=(8, 6, 3)).astype(np.float32)
+    past /= np.linalg.norm(past, axis=-1, keepdims=True)
+    past = jnp.asarray(past)
+
+    serve_x = infer.make_predict_fn(params, cfg, fam.apply, impl="xla")
+    serve_f = infer.make_predict_fn(params, cfg, fam.apply, impl="fused")
+    np.testing.assert_allclose(
+        np.asarray(serve_f(past)), np.asarray(serve_x(past)), atol=5e-5
+    )
