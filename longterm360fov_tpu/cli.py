@@ -46,6 +46,11 @@ def _build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--steps", type=int)
     tr.add_argument("--batch-size", type=int)
     tr.add_argument("--lr", type=float)
+    tr.add_argument(
+        "--accum", type=int,
+        help="gradient-accumulation microbatches per optimizer step "
+        "(logical batch > HBM activation budget)",
+    )
     tr.add_argument("--ckpt-dir")
     tr.add_argument("--log-file")
     tr.add_argument("--resume", action="store_true")
@@ -204,7 +209,7 @@ def cmd_train(args):
     from .models import get_family
 
     over = {}
-    for k in ("steps", "batch_size", "lr"):
+    for k in ("steps", "batch_size", "lr", "accum"):
         v = getattr(args, k)
         if v is not None:
             over[k] = v
@@ -224,6 +229,14 @@ def cmd_train(args):
         )
     if cfg.batch_size > len(train_d["past"]):
         cfg = cfg.replace(batch_size=len(train_d["past"]))
+    if cfg.accum > 1 and cfg.batch_size % cfg.accum:
+        bs = (cfg.batch_size // cfg.accum) * cfg.accum
+        if bs == 0:
+            raise SystemExit(
+                f"--accum {cfg.accum} exceeds batch size {cfg.batch_size}"
+            )
+        print(f"rounding batch_size down to {bs} (multiple of --accum)")
+        cfg = cfg.replace(batch_size=bs)
 
     state = None
     if args.resume and args.ckpt_dir:

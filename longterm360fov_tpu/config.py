@@ -39,6 +39,14 @@ class ExperimentConfig:
     # TPU when the family provides one and ss is off; "xla" forces the
     # scan path; "fused" forces the kernel (interpret mode off-TPU)
     train_impl: str = "auto"
+    # gradient accumulation: split each batch into `accum` microbatches,
+    # sum grads over a lax.scan, apply ONE optimizer update. Lets a
+    # logical batch exceed what activations fit in HBM. batch_size must
+    # divide evenly. Grads == full-batch grads to fp32 tolerance for
+    # deterministic forwards (teacher forcing); under scheduled sampling
+    # each microbatch draws its own Bernoulli subkey, so the stochastic
+    # draw differs from the one-shot batch (documented, tested).
+    accum: int = 1
     ss_start: float = 1.0
     ss_end: float = 0.0
 

@@ -138,7 +138,9 @@ def train_loop_dp(
     if state is None:
         state = train_mod.init_state(cfg, init_fn, optimizer)
     state = replicate_state(mesh, state)
-    it = train_mod.batch_iterator(data, cfg.batch_size, cfg.seed)
+    it = train_mod.batch_iterator(
+        data, cfg.batch_size, cfg.seed, start_step=int(state.step)
+    )
     history = []
     log_fh = open(log_file, "a") if log_file else None
     ckpt = None
@@ -148,8 +150,6 @@ def train_loop_dp(
         ckpt = ckpt_mod.Checkpointer(checkpoint_dir, cfg)
 
     start_step = int(state.step)
-    for _ in range(start_step):
-        next(it)
     t0 = time.time()
     for i in range(start_step, cfg.steps):
         batch = shard_batch(mesh, next(it))

@@ -140,12 +140,56 @@ def make_train_step(
         gc_deg = losses.great_circle_deg_metric(pred_xyz, true_xyz)
         return loss, gc_deg
 
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def accum_grads(params, batch, sub, tp):
+        """Microbatched gradient: scan over `cfg.accum` equal slices of the
+        batch, summing grads in a params-shaped carry, then divide. Peak
+        activation memory is one microbatch's; the extra resident buffer
+        is one params-sized grad accumulator (params are ~KBs–MBs here,
+        activations are the HBM cost at large B·H). Mean-of-means equals
+        the full-batch mean gradient because every microbatch has equal
+        size and the loss is a batch mean (tests/test_train_integration)."""
+        b = jax.tree.leaves(batch)[0].shape[0]
+        if b % cfg.accum:
+            raise ValueError(
+                f"batch size {b} not divisible by accum={cfg.accum}"
+            )
+        micro = jax.tree.map(
+            lambda x: x.reshape((cfg.accum, b // cfg.accum) + x.shape[1:]),
+            batch,
+        )
+        subs = jax.random.split(sub, cfg.accum)
+
+        def body(carry, inp):
+            mb, k = inp
+            (l, g), grads = grad_fn(params, mb, k, tp)
+            gsum, lsum, gcsum = carry
+            return (
+                jax.tree.map(jnp.add, gsum, grads),
+                lsum + l,
+                gcsum + g,
+            ), None
+
+        zeros = jax.tree.map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), params
+        )
+        (gsum, lsum, gcsum), _ = jax.lax.scan(
+            body, (zeros, jnp.float32(0.0), jnp.float32(0.0)), (micro, subs)
+        )
+        inv = 1.0 / cfg.accum
+        grads = jax.tree.map(
+            lambda g, p: (g * inv).astype(p.dtype), gsum, params
+        )
+        return (lsum * inv, gcsum * inv), grads
+
     def step_fn(state: TrainState, batch: Dict[str, jax.Array]):
         rng, sub = jax.random.split(state.rng)
         tp = teacher_prob_at(cfg, state.step)
-        (loss, gc_deg), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, sub, tp
-        )
+        if cfg.accum > 1:
+            (loss, gc_deg), grads = accum_grads(state.params, batch, sub, tp)
+        else:
+            (loss, gc_deg), grads = grad_fn(state.params, batch, sub, tp)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             loss = jax.lax.pmean(loss, axis_name)
@@ -185,23 +229,34 @@ def batch_iterator(
     batch_size: int,
     seed: int = 0,
     drop_remainder: bool = True,
+    start_step: int = 0,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Endless shuffled minibatch stream over packed window arrays.
 
     Host-side numpy; reshuffles every epoch. Static batch shape (drops
     the ragged tail) so the jitted step never recompiles.
+
+    Each epoch's permutation is seeded independently from
+    ``(seed, epoch)``, so the stream at any global step is a pure
+    function of (seed, step): a resumed run positions itself with
+    ``start_step`` in O(1) instead of replaying ``next()`` per skipped
+    step, and still consumes exactly the batches the uninterrupted run
+    would have.
     """
     n = len(data["past"])
     if batch_size > n:
         raise ValueError(f"batch_size {batch_size} > dataset size {n}")
-    rng = np.random.default_rng(seed)
+    bpe = (n - batch_size) // batch_size + 1  # full batches per epoch
+    epoch, pos = divmod(start_step, bpe)
     while True:
-        order = rng.permutation(n)
-        for i in range(0, n - batch_size + 1, batch_size):
-            idx = order[i : i + batch_size]
+        order = np.random.default_rng([seed, epoch]).permutation(n)
+        for b in range(pos, bpe):
+            idx = order[b * batch_size : (b + 1) * batch_size]
             yield {
                 k: v[idx] for k, v in data.items() if v is not None
             }
+        pos = 0
+        epoch += 1
 
 
 def train_loop(
@@ -231,7 +286,8 @@ def train_loop(
     if state is None:
         state = init_state(cfg, init_fn, optimizer)
     it = batch_iterator(
-        {k: v for k, v in data.items()}, cfg.batch_size, cfg.seed
+        {k: v for k, v in data.items()}, cfg.batch_size, cfg.seed,
+        start_step=int(state.step),
     )
     history = []
     log_fh = open(log_file, "a") if log_file else None
@@ -242,10 +298,6 @@ def train_loop(
         ckpt = ckpt_mod.Checkpointer(checkpoint_dir, cfg)
 
     start_step = int(state.step)
-    # fast-forward the (deterministic) batch stream so a resumed run
-    # consumes exactly the batches the interrupted run would have
-    for _ in range(start_step):
-        next(it)
     t0 = time.time()
     for i in range(start_step, cfg.steps):
         batch = {k: jnp.asarray(v) for k, v in next(it).items()}

@@ -51,3 +51,88 @@ def test_error_curve_shape(overfit_result):
     cfg, tr, te, state, history = overfit_result
     res = E.evaluate(state.params, cfg, apply, te)
     assert len(res["error_by_step_deg"]) == cfg.model.h_out
+
+
+class TestGradAccumulation:
+    """--accum N: grads(sum over N microbatches)/N == grads(full batch).
+
+    Holds exactly (to fp32 tolerance) for deterministic forwards because
+    the loss is a batch mean and microbatches are equal-sized; scheduled
+    sampling draws per-microbatch Bernoulli keys so only the stochastic
+    draw differs there (documented in config.ExperimentConfig.accum).
+    """
+
+    def _grads(self, cfg, batch):
+        import jax
+
+        from longterm360fov_tpu import losses, windows
+
+        opt = train.make_optimizer(cfg)
+        state = train.init_state(cfg, init, opt)
+        step = train.make_train_step(cfg, apply, opt)
+        new_state, metrics = step(state, batch)
+        return new_state, metrics
+
+    def test_accum_matches_full_batch(self):
+        import jax
+        import jax.numpy as jnp
+
+        store = traces.TraceStore()
+        store.add(traces.synthetic_trace(3, n_frames=200))
+        cfg1 = ExperimentConfig(
+            name="accum-test",
+            model=Seq2SeqConfig(d=3, hidden=32, layers=1, h_in=10, h_out=10),
+            batch_size=32,
+            steps=1,
+        )
+        cfg4 = cfg1.replace(accum=4)
+        tr, _ = D.windows_from_store(store, 10, 10, train_frac=0.9)
+        batch = {
+            "past": jnp.asarray(tr["past"][:32]),
+            "future": jnp.asarray(tr["future"][:32]),
+        }
+        s1, m1 = self._grads(cfg1, dict(batch))
+        s4, m4 = self._grads(cfg4, dict(batch))
+        assert abs(float(m1["loss"]) - float(m4["loss"])) < 1e-6
+        # identical init + identical grads => identical post-update params
+        flat1 = jax.tree.leaves(s1.params)
+        flat4 = jax.tree.leaves(s4.params)
+        for a, b in zip(flat1, flat4):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-6, rtol=2e-5
+            )
+
+    def test_accum_requires_divisible_batch(self):
+        import jax.numpy as jnp
+        import pytest as _pytest
+
+        cfg = ExperimentConfig(
+            name="accum-bad",
+            model=Seq2SeqConfig(d=3, hidden=32, layers=1, h_in=10, h_out=10),
+            batch_size=30,
+            steps=1,
+            accum=4,
+        )
+        batch = {
+            "past": jnp.zeros((30, 10, 3)),
+            "future": jnp.zeros((30, 10, 3)),
+        }
+        with _pytest.raises(ValueError, match="not divisible"):
+            self._grads(cfg, batch)
+
+
+class TestResumeFastForward:
+    def test_batch_stream_is_step_pure(self):
+        """batch_iterator(start_step=k) must equal k next() calls on a
+        fresh stream — the O(1) resume fast-forward contract."""
+        rng = np.random.default_rng(0)
+        data = {"past": rng.normal(size=(100, 4, 3)).astype(np.float32)}
+        a = train.batch_iterator(dict(data), 16, seed=3)
+        for _ in range(23):
+            ref = next(a)
+        b = train.batch_iterator(dict(data), 16, seed=3, start_step=22)
+        got = next(b)
+        np.testing.assert_array_equal(ref["past"], got["past"])
+        # and the next batches continue in lockstep across an epoch edge
+        for _ in range(10):
+            np.testing.assert_array_equal(next(a)["past"], next(b)["past"])
