@@ -22,7 +22,12 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["init_multihost", "host_local_batch_slice", "global_batch"]
+__all__ = [
+    "init_multihost",
+    "host_local_batch_slice",
+    "global_batch",
+    "replicate_global",
+]
 
 
 def init_multihost(
@@ -66,3 +71,17 @@ def global_batch(
         k: jax.make_array_from_process_local_data(sharding, v)
         for k, v in host_batch.items()
     }
+
+
+def replicate_global(mesh: Mesh, tree):
+    """Place a host-local pytree fully replicated over a (possibly
+    multi-process) mesh. Every process must hold the same values —
+    guaranteed here by deterministic seeded init. The single-process
+    equivalent is parallel.mesh.replicate_state."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)
+        ),
+        tree,
+    )
