@@ -29,8 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["resize_matrix", "fused_conv_resize", "conv_resize_reference"]
 
 
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+from ._tiling import interpret as _interpret
 
 
 def resize_matrix(dst: int, src: int) -> np.ndarray:

@@ -41,27 +41,7 @@ from ..models.cell import LSTMParams
 __all__ = ["fused_lstm_cell", "fused_decode", "fused_serve"]
 
 
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
-
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
-
-
-def _pick_tile(batch: int, want: int) -> int:
-    """Largest legal batch tile ≤ want: Mosaic requires a block's lane
-    dim to be 128-divisible OR equal to the full array dim, so a partial
-    tile must be a multiple of 128 that divides batch; otherwise fall
-    back to the whole batch in one tile."""
-    if want >= batch:
-        return batch
-    t = min(want, batch) // 128 * 128
-    while t >= 128:
-        if batch % t == 0:
-            return t
-        t -= 128
-    return batch
+from ._tiling import interpret as _interpret, pick_tile as _pick_tile, round_up as _round_up
 
 
 # ---------------------------------------------------------------------------

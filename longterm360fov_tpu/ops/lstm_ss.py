@@ -37,13 +37,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.cell import LSTMParams
-from .lstm_train import _auto_tile
+from ._tiling import auto_tile as _auto_tile
 
 __all__ = ["ss_decode"]
 
 
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+from ._tiling import interpret as _interpret
 
 
 # ---------------------------------------------------------------------------

@@ -40,37 +40,7 @@ from ..models.cell import LSTMParams
 __all__ = ["lstm_seq", "lstm_seq_states"]
 
 
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
-
-
-
-def _auto_tile(batch: int, want: int, layers: int, hidden: int, d: int,
-               streams: int = 9) -> int:
-    """VMEM-aware batch tile: the pipelined per-step blocks (double-
-    buffered activations/gates/residual streams) must fit the ~16MB
-    VMEM with headroom. ``streams`` ~ per-row f32 words per layer-hidden
-    (9 covers the fwd/bwd residual set of lstm_train; lstm_ss uses 11).
-    """
-    budget = 12 * 1024 * 1024
-    bytes_per_row = 8 * (2 * d + streams * layers * hidden)
-    rows = max(budget // bytes_per_row, 128)
-    return _pick_tile(batch, min(want, int(rows)))
-
-
-def _pick_tile(batch: int, want: int) -> int:
-    """Largest legal batch tile ≤ want: Mosaic requires a block's lane
-    dim to be 128-divisible OR equal to the full array dim, so a partial
-    tile must be a multiple of 128 that divides batch; otherwise fall
-    back to the whole batch in one tile."""
-    if want >= batch:
-        return batch
-    t = min(want, batch) // 128 * 128
-    while t >= 128:
-        if batch % t == 0:
-            return t
-        t -= 128
-    return batch
+from ._tiling import auto_tile as _auto_tile, interpret as _interpret
 
 
 # ---------------------------------------------------------------------------

@@ -60,25 +60,7 @@ N_HEADS = 4  # matches models.transformer.N_HEADS
 MLP_MULT = 4
 
 
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
-
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
-
-
-def _pick_tile(batch: int, want: int) -> int:
-    """Largest legal batch tile ≤ want (lane dim must be a multiple of
-    128 or the full array dim — same rule as ops/fused_lstm.py)."""
-    if want >= batch:
-        return batch
-    t = min(want, batch) // 128 * 128
-    while t >= 128:
-        if batch % t == 0:
-            return t
-        t -= 128
-    return batch
+from ._tiling import interpret as _interpret, pick_tile as _pick_tile, round_up as _round_up
 
 
 def _decode_kernel(
