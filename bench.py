@@ -45,22 +45,25 @@ def log(msg):
 
 
 def emit_and_exit(*_args):
-    print(
-        json.dumps(
-            {
-                "metric": "viewer_trajectories_per_sec_per_chip_30frame",
-                "value": round(_result["value"], 1),
-                "unit": "trajectories/s",
-                "vs_baseline": round(_result["vs_baseline"], 2),
-                **(
-                    {"error": _result["error"]}
-                    if _result.get("error")
-                    else {}
-                ),
-            }
-        ),
-        flush=True,
-    )
+    out = {
+        "metric": "viewer_trajectories_per_sec_per_chip_30frame",
+        "value": round(_result["value"], 1),
+        "unit": "trajectories/s",
+        "vs_baseline": round(_result["vs_baseline"], 2),
+    }
+    if _result.get("model_flops"):
+        # analytic MXU FLOPs per served trajectory (utils/flops.py) and
+        # the implied useful-FLOP rate / MFU vs the v5e bf16 peak
+        out["model_flops"] = round(_result["model_flops"])
+        out["tflops_per_sec"] = round(
+            _result["value"] * _result["model_flops"] / 1e12, 2
+        )
+        out["mfu_vs_bf16_peak"] = round(
+            _result["value"] * _result["model_flops"] / 197e12, 4
+        )
+    if _result.get("error"):
+        out["error"] = _result["error"]
+    print(json.dumps(out), flush=True)
     sys.exit(0)
 
 
@@ -77,7 +80,10 @@ def main():
     from longterm360fov_tpu.config import get_preset
     from longterm360fov_tpu.models import seq2seq as S
 
+    from longterm360fov_tpu.utils import flops as F
+
     cfg32 = get_preset("seq2seq-tf-30")
+    _result["model_flops"] = F.decode_flops(cfg32)
     cfg16 = dataclasses.replace(
         cfg32, model=dataclasses.replace(cfg32.model, param_dtype="bfloat16")
     )

@@ -53,6 +53,7 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     tr.add_argument("--ckpt-dir")
     tr.add_argument("--log-file")
+    tr.add_argument("--tb-dir", help="TensorBoard scalar log dir (optional)")
     tr.add_argument("--resume", action="store_true")
     tr.add_argument("--data-parallel", action="store_true")
     tr.add_argument("--bf16", action="store_true", help="bfloat16 params/compute")
@@ -262,6 +263,7 @@ def cmd_train(args):
         state, history = TR.train_loop(
             cfg, fam.init, fam.apply, train_d,
             eval_data=test_d or None, log_file=args.log_file,
+            tb_dir=args.tb_dir,
             checkpoint_dir=args.ckpt_dir, state=state, extras_fn=extras_fn,
             fused_tf_fn=fused_tf_fn, fused_ss_fn=fused_ss_fn,
         )

@@ -400,16 +400,28 @@ def fused_serve(
     Matches encoder-scan + decode semantics of models.seq2seq (parity
     test in tests/test_fused_lstm.py). ``compute_dtype=jnp.bfloat16``
     runs the matmuls in bf16 with f32 gate accumulation and f32 cell
-    state (the precision-critical carry).
-
-    Context fusion is not supported here (plain seq2seq serve path —
-    the throughput-critical config, BASELINE.json:2).
+    state (the precision-critical carry). Per-viewer ``context`` feeds
+    the decoder's layer-0 [y, ctx, h] packed lanes (cross_user/fusion
+    families).
     """
     n_layers = len(enc_params)
     batch, t_in, d = past_n.shape
     hidden = proj_w.shape[0]
     ctx_dim = 0 if context is None else context.shape[-1]
-    tile_b = _pick_tile(batch, tile_b)
+    # VMEM-aware tile cap: per-row f32 words of the resident blocks —
+    # double-buffered in/out streams, ctx block, packed [x,(ctx,)h]
+    # scratch per layer (lane-padded to 128), the ctx decoder z0d, and
+    # the per-layer cell states. The flagship no-ctx 1-layer config
+    # stays at the sweep-tested 2048; ctx/stacked variants shrink so the
+    # scoped-vmem stack stays under the 16 MB limit (a 2048-row ctx tile
+    # measured 17.47 MB and OOMed at compile — bench_matrix r2).
+    words = 2 * d * t_in + 2 * d * t_out + ctx_dim + n_layers * hidden
+    for l in range(n_layers):
+        words += _round_up((d if l == 0 else hidden) + hidden, 128)
+    if ctx_dim:
+        words += _round_up(d + ctx_dim + hidden, 128)
+    rows = max((10 * 1024 * 1024 // (4 * words)) // 128 * 128, 128)
+    tile_b = _pick_tile(batch, min(tile_b, rows))
     grid = (batch // tile_b,)
 
     # (B, T, D) → (D, T, B): lane axis = batch (no lane padding)

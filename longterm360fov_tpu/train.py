@@ -267,6 +267,7 @@ def train_loop(
     *,
     eval_data: Optional[Dict[str, np.ndarray]] = None,
     log_file: Optional[str] = None,
+    tb_dir: Optional[str] = None,
     checkpoint_dir: Optional[str] = None,
     state: Optional[TrainState] = None,
     extras_fn: Optional[Callable] = None,
@@ -291,6 +292,11 @@ def train_loop(
     )
     history = []
     log_fh = open(log_file, "a") if log_file else None
+    tb = None
+    if tb_dir:
+        from .utils.profiling import TensorBoardWriter
+
+        tb = TensorBoardWriter(tb_dir)
     ckpt = None
     if checkpoint_dir:
         from . import checkpoint as ckpt_mod
@@ -320,8 +326,12 @@ def train_loop(
             if log_fh:
                 log_fh.write(json.dumps(m) + "\n")
                 log_fh.flush()
+            if tb:
+                tb.write(**m)
         if ckpt and ((i + 1) % cfg.ckpt_every == 0 or i + 1 == cfg.steps):
             ckpt.save(state, metrics=history[-1] if history else None)
     if log_fh:
         log_fh.close()
+    if tb:
+        tb.close()
     return state, history

@@ -16,7 +16,13 @@ from typing import Iterator, Optional
 
 import jax
 
-__all__ = ["profile_trace", "StepTimer", "debug_nans", "MetricsWriter"]
+__all__ = [
+    "profile_trace",
+    "StepTimer",
+    "debug_nans",
+    "MetricsWriter",
+    "TensorBoardWriter",
+]
 
 
 @contextlib.contextmanager
@@ -89,6 +95,43 @@ class MetricsWriter:
 
     def close(self) -> None:
         self.fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class TensorBoardWriter:
+    """Optional TensorBoard scalar stream next to the JSONL one
+    (SURVEY.md §5 "optional TensorBoard writer"). Lazy-imports
+    tf.summary; raises ImportError with a clear message when TensorFlow
+    is absent so callers can fall back to JSONL-only."""
+
+    def __init__(self, log_dir: str):
+        try:
+            from tensorflow import summary as tf_summary  # noqa: PLC0415
+        except ImportError as e:
+            raise ImportError(
+                "TensorBoardWriter needs tensorflow (tf.summary); "
+                "use MetricsWriter (JSONL) instead"
+            ) from e
+        self._summary = tf_summary
+        self._writer = tf_summary.create_file_writer(log_dir)
+
+    def write(self, step: Optional[int] = None, **metrics) -> None:
+        """Log numeric metrics at ``step`` (or at metrics['step'], so a
+        train_loop metrics dict can be splatted whole)."""
+        step = int(metrics.pop("step", step if step is not None else 0))
+        with self._writer.as_default(step=step):
+            for k, v in metrics.items():
+                if isinstance(v, (int, float)):
+                    self._summary.scalar(k, v)
+        self._writer.flush()
+
+    def close(self) -> None:
+        self._writer.close()
 
     def __enter__(self):
         return self

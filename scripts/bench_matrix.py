@@ -1,0 +1,214 @@
+"""Per-preset TPU benchmark matrix (VERDICT r1 missing #3).
+
+One row per BASELINE.json:7-11 preset: serving throughput on the best
+available tier, training steps/s on the family's fused path, analytic
+model FLOPs (utils/flops.py) and the implied MFU. Appends JSON lines to
+bench_matrix.jsonl and rewrites the Measured matrix in BASELINE.md.
+
+Run alone on the TPU (one process owns the chip; first compile in a
+process is the slow one):
+
+    python scripts/bench_matrix.py [--quick]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# (preset, serve_batch, serve_iters, train_batch, train_steps)
+MATRIX = [
+    ("lstm-xyz-10", 262144, 10, 4096, 60),
+    ("seq2seq-tf-30", 262144, 10, 4096, 60),
+    ("stacked-ss-crossuser", 65536, 10, 4096, 40),
+    ("video-fusion", 65536, 10, 4096, 40),
+    ("transformer-10s", 4096, 5, 1024, 20),
+]
+
+
+def make_batch(cfg, n, *, with_future=False, with_peers=True, seed=0):
+    rng = np.random.default_rng(seed)
+    m = cfg.model
+    total = m.h_in + (m.h_out if with_future else 0)
+    walk = rng.normal(size=(n, total, 3)).astype(np.float32)
+    walk = np.cumsum(walk * 0.05, axis=1) + rng.normal(size=(n, 1, 3))
+    walk /= np.linalg.norm(walk, axis=-1, keepdims=True) + 1e-9
+    batch = {"past": walk[:, : m.h_in]}
+    if with_future:
+        batch["future"] = walk[:, m.h_in :]
+    if with_peers and cfg.model_family in ("cross_user", "transformer") and cfg.n_other_users:
+        k = cfg.n_other_users
+        peers = rng.normal(size=(n, k, m.h_out, 3)).astype(np.float32)
+        peers /= np.linalg.norm(peers, axis=-1, keepdims=True) + 1e-9
+        batch["other_future"] = peers
+    if cfg.model_family == "fusion":
+        from longterm360fov_tpu.models.fusion import FEATURE_DIM
+
+        batch["features"] = rng.normal(size=(n, FEATURE_DIM)).astype(
+            np.float32
+        )
+    return batch
+
+
+def bench_serve(cfg, fam, params, batch_n, iters):
+    import jax
+    import jax.numpy as jnp
+
+    from longterm360fov_tpu import infer
+    from longterm360fov_tpu import train as TR
+
+    extras = getattr(fam, "batch_extras", None)
+    # transformer fused serving is the no-peer tier (peer attention
+    # routes to the XLA path by design — models/transformer.serve_fused)
+    host = make_batch(
+        cfg, batch_n, with_future=True,
+        with_peers=cfg.model_family != "transformer",
+    )
+    batch = {k: jnp.asarray(v) for k, v in host.items() if k != "future"}
+
+    results = {}
+    for impl in ("fused", "xla"):
+        try:
+            serve = infer.make_predict_fn(
+                params, cfg, fam.apply, impl=impl, extras_fn=extras,
+            )
+        except ValueError:
+            continue
+        try:
+            t0 = time.time()
+            serve(batch).block_until_ready()
+            compile_s = time.time() - t0
+            t0 = time.time()
+            for _ in range(iters):
+                out = serve(batch)
+            out.block_until_ready()
+            thr = batch_n * iters / (time.time() - t0)
+            results[impl] = {
+                "traj_per_s": round(thr, 1),
+                "compile_s": round(compile_s, 1),
+            }
+            print(f"  serve[{impl}] {thr:,.0f} traj/s", flush=True)
+        except Exception as e:  # noqa: BLE001
+            results[impl] = {"error": f"{type(e).__name__}: {e}"[:200]}
+            print(f"  serve[{impl}] FAILED {e}", flush=True)
+    return results
+
+
+def bench_train(cfg, fam, batch_n, steps):
+    import jax
+    import jax.numpy as jnp
+
+    from longterm360fov_tpu import train as TR
+
+    cfg = cfg.replace(batch_size=batch_n, steps=max(steps * 10, 1000))
+    extras = getattr(fam, "batch_extras", None)
+    opt = TR.make_optimizer(cfg)
+    state = TR.init_state(cfg, fam.init, opt)
+    step = TR.make_train_step(
+        cfg, fam.apply, opt, extras_fn=extras,
+        fused_tf_fn=getattr(fam, "apply_fused_tf", None),
+        fused_ss_fn=getattr(fam, "apply_fused_ss", None),
+    )
+    host = make_batch(cfg, batch_n, with_future=True)
+    batch = {k: jnp.asarray(v) for k, v in host.items()}
+    t0 = time.time()
+    state, _ = step(state, batch)
+    jax.block_until_ready(state.params)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for _ in range(steps):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(state.params)
+    dt = time.time() - t0
+    sps = steps / dt
+    print(
+        f"  train {sps:.1f} steps/s = {sps * batch_n:,.0f} windows/s "
+        f"(compile {compile_s:.0f}s, loss {float(metrics['loss']):.4g})",
+        flush=True,
+    )
+    return {
+        "steps_per_s": round(sps, 2),
+        "windows_per_s": round(sps * batch_n, 1),
+        "compile_s": round(compile_s, 1),
+    }
+
+
+def try_train(cfg, fam, tb, ts):
+    try:
+        return bench_train(cfg, fam, tb, ts)
+    except Exception as e:  # noqa: BLE001
+        print(f"  train FAILED {e}", flush=True)
+        return {"error": f"{type(e).__name__}: {e}"[:200]}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="smaller batches")
+    ap.add_argument("--out", default="bench_matrix.jsonl")
+    ap.add_argument("--only", help="comma-separated preset filter")
+    args = ap.parse_args()
+
+    import jax
+
+    from longterm360fov_tpu.config import get_preset
+    from longterm360fov_tpu.models import get_family
+    from longterm360fov_tpu.utils import flops as F
+
+    print(f"backend: {jax.default_backend()}, devices: {jax.devices()}",
+          flush=True)
+
+    only = set(args.only.split(",")) if args.only else None
+    rows = []
+    for preset, sb, si, tb, ts in MATRIX:
+        if only and preset not in only:
+            continue
+        if args.quick:
+            sb, tb, ts = min(sb, 8192), min(tb, 512), min(ts, 10)
+        cfg = get_preset(preset)
+        fam = get_family(cfg.model_family)
+        print(f"[{preset}] serve_b={sb} train_b={tb}", flush=True)
+        params = fam.init(jax.random.PRNGKey(0), cfg.model)
+        row = {
+            "preset": preset,
+            "serve_batch": sb,
+            "train_batch": tb,
+            "decode_flops": round(F.decode_flops(cfg)),
+            "train_flops": round(F.train_flops(cfg)),
+            "serve": bench_serve(cfg, fam, params, sb, si),
+            "train": try_train(cfg, fam, tb, ts),
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        }
+        best = max(
+            (v.get("traj_per_s", 0.0) for v in row["serve"].values()),
+            default=0.0,
+        )
+        row["best_traj_per_s"] = best
+        row["serve_tflops"] = round(best * row["decode_flops"] / 1e12, 2)
+        row["serve_mfu_bf16_peak"] = round(
+            best * row["decode_flops"] / F.V5E_BF16_PEAK, 4
+        )
+        tw = row["train"].get("windows_per_s", 0.0)
+        row["train_tflops"] = round(tw * row["train_flops"] / 1e12, 2)
+        rows.append(row)
+        with open(args.out, "a") as f:
+            f.write(json.dumps(row) + "\n")
+
+    print("\n| preset | serve traj/s | serve TFLOP/s (MFU) | train steps/s "
+          "| train windows/s |")
+    print("|---|---|---|---|---|")
+    for r in rows:
+        print(
+            f"| {r['preset']} | {r['best_traj_per_s']:,.0f} "
+            f"| {r['serve_tflops']} ({100 * r['serve_mfu_bf16_peak']:.1f}%) "
+            f"| {r['train'].get('steps_per_s', '-')} "
+            f"| {r['train'].get('windows_per_s', 0):,.0f} |"
+        )
+
+
+if __name__ == "__main__":
+    main()

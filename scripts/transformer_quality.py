@@ -1,0 +1,135 @@
+"""Transformer apples-to-apples quality pass (VERDICT r1 weak #1 / next #7).
+
+Round 1 only measured the transformer at its native 100-frame horizon,
+so there was no matched-horizon row against the LSTM families. This
+script trains transformer variants at h_in/h_out=30 on the SAME
+synthetic store as scripts/run_experiments.py (8 users x 2 videos x
+1500 frames, seed 0) and evaluates mean great-circle error on the same
+held-out split, sweeping the knobs VERDICT named (layers/width/lr/
+warmup, +/- cross-viewer peer attention). Appends rows to
+experiments.jsonl and prints a RESULTS.md-ready table.
+
+Run alone on the TPU:  python scripts/transformer_quality.py [--steps N]
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def variants(base):
+    """(name, cfg) grid: base first, then one-knob deviations."""
+    m = base.model
+    out = [
+        ("transformer-30", base),
+        ("transformer-30-peers", base),  # peers wired via data, same cfg
+        ("transformer-30-l2", base.replace(
+            model=dataclasses.replace(m, layers=2))),
+        ("transformer-30-h256", base.replace(
+            model=dataclasses.replace(m, hidden=256))),
+        ("transformer-30-lr1e3", base.replace(lr=1e-3, warmup_steps=300)),
+        ("transformer-30-l2-lr1e3", base.replace(
+            model=dataclasses.replace(m, layers=2), lr=1e-3,
+            warmup_steps=300)),
+    ]
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--only", help="comma-separated variant filter")
+    ap.add_argument("--log", default="experiments.jsonl")
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from longterm360fov_tpu import data as D
+    from longterm360fov_tpu import evaluate as E
+    from longterm360fov_tpu import infer, traces, train
+    from longterm360fov_tpu.config import get_preset
+    from longterm360fov_tpu.models import get_family
+
+    # same data as run_experiments.py so rows are comparable with
+    # RESULTS.md's seq2seq-tf-30 (7.6deg) / stacked-ss-crossuser (7.2deg)
+    store = traces.synthetic_store(
+        n_users=8, n_videos=2, n_frames=1500, rate_hz=10.0, seed=0
+    )
+    base = get_preset(
+        "transformer-10s", model_h_in=30, model_h_out=30,
+        steps=args.steps, eval_every=args.steps,
+    )
+    fam = get_family("transformer")
+    only = set(args.only.split(",")) if args.only else None
+
+    trd_p, ted_p = D.windows_from_store(
+        store, 30, 30, train_frac=0.8, n_other_users=base.n_other_users
+    )
+    trd_np = {k: v for k, v in trd_p.items() if k != "other_future"}
+    ted_np = {k: v for k, v in ted_p.items() if k != "other_future"}
+
+    log_fh = open(args.log, "a")
+    rows = []
+    for name, cfg in variants(base):
+        if only and name not in only:
+            continue
+        with_peers = name.endswith("-peers")
+        trd, ted = (trd_p, ted_p) if with_peers else (trd_np, ted_np)
+        cfg = cfg.replace(steps=args.steps, eval_every=args.steps)
+        if cfg.batch_size > len(trd["past"]):
+            cfg = cfg.replace(batch_size=len(trd["past"]))
+        extras = getattr(fam, "batch_extras", None)
+        t0 = time.time()
+        state, hist = train.train_loop(
+            cfg, fam.init, fam.apply, trd, extras_fn=extras
+        )
+        res = E.evaluate(state.params, cfg, fam.apply, ted, extras_fn=extras)
+        pred = infer.predict_batch(
+            state.params, cfg, fam.apply,
+            {k: jnp.asarray(v) for k, v in ted.items() if k != "future"},
+            None, extras,
+        )
+        hit, tiles = infer.prefetch_accuracy(pred, jnp.asarray(ted["future"]))
+        row = {
+            "name": name,
+            "mean_deg": res["mean_deg"],
+            "final_step_deg": res["final_step_deg"],
+            "hit_rate": float(hit),
+            "tiles_per_frame": float(tiles),
+            "train_loss": hist[-1]["loss"],
+            "steps": cfg.steps,
+            "lr": cfg.lr,
+            "warmup": cfg.warmup_steps,
+            "layers": cfg.model.layers,
+            "hidden": cfg.model.hidden,
+            "peers": with_peers,
+            "train_time_s": round(time.time() - t0, 1),
+        }
+        rows.append(row)
+        log_fh.write(json.dumps(row) + "\n")
+        log_fh.flush()
+        print(
+            f"{name}: mean {row['mean_deg']:.2f}deg final "
+            f"{row['final_step_deg']:.2f}deg hit {row['hit_rate']:.3f} "
+            f"({row['train_time_s']:.0f}s)",
+            flush=True,
+        )
+
+    print("\n| config | mean ° | final-step ° | prefetch hit | tiles/frame |")
+    print("|---|---|---|---|---|")
+    for r in sorted(rows, key=lambda r: r["mean_deg"]):
+        print(
+            f"| {r['name']} | {r['mean_deg']:.2f} | {r['final_step_deg']:.2f} "
+            f"| {r['hit_rate']:.3f} | {r['tiles_per_frame']:.1f} |"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -53,3 +53,18 @@ def test_metrics_writer(tmp_path):
     rows = [json.loads(l) for l in open(p)]
     assert rows[0] == {"step": 1, "loss": 0.5}
     assert rows[1]["extra"] == "x"
+
+
+def test_tensorboard_writer(tmp_path):
+    pytest.importorskip("tensorflow")
+    from longterm360fov_tpu.utils.profiling import TensorBoardWriter
+
+    d = str(tmp_path / "tb")
+    with TensorBoardWriter(d) as tb:
+        tb.write(1, loss=0.5, great_circle_deg=12.0, skipme="str")
+        tb.write(2, loss=0.4)
+    import glob
+    import os
+
+    files = glob.glob(os.path.join(d, "events.out.tfevents.*"))
+    assert files and os.path.getsize(files[0]) > 0
