@@ -42,12 +42,18 @@ def _lstm_stack_flops(cfg_m, steps: int, layer0_in: int) -> float:
 
 def lstm_decode_flops(cfg: ExperimentConfig) -> float:
     """Per-trajectory serving FLOPs: encoder over h_in + AR decoder over
-    h_out (+ output projection per emitted frame)."""
+    h_out (+ output projection per emitted frame). The cross_user family
+    additionally runs K peer futures through a ctx_dim-hidden LSTM
+    encoder per target viewer (models/cross_user.encode_peers)."""
     m = cfg.model
     enc = _lstm_stack_flops(m, m.h_in, m.d)
     dec = _lstm_stack_flops(m, m.h_out, m.d + m.ctx_dim)
     proj = m.h_out * 2.0 * m.hidden * m.d
-    return enc + dec + proj
+    total = enc + dec + proj
+    if cfg.model_family == "cross_user" and cfg.n_other_users:
+        c = m.ctx_dim
+        total += cfg.n_other_users * m.h_out * 2.0 * (m.d + c) * 4 * c
+    return total
 
 
 def lstm_train_flops(cfg: ExperimentConfig) -> float:
