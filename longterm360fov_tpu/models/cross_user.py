@@ -180,12 +180,16 @@ def serve_fused(
     other_mask: Optional[jax.Array] = None,
     tile_b: int = 2048,
 ) -> jax.Array:
-    """Whole-request fused serve with peer conditioning: encode peers on
-    the XLA path (tiny vs the decode), then run the fused Pallas serve
-    kernel with the resulting context."""
+    """Whole-request fused serve with peer conditioning: peers encode
+    through the fused Pallas sequence primitive (ops.lstm_train — the
+    XLA scan here cost 37% of the preset's serve FLOPs as ~30 HBM-bound
+    steps, bench_matrix r2), then the fused serve kernel runs with the
+    resulting context."""
     if context is None:
         if other_future_n is not None:
-            context = encode_peers(params, cfg, other_future_n, other_mask)
+            context = encode_peers(
+                params, cfg, other_future_n, other_mask, use_fused_seq=True
+            )
         else:
             # decoder weights always carry ctx rows when ctx_dim > 0
             context = jnp.zeros((past_n.shape[0], cfg.ctx_dim), cfg.dtype)

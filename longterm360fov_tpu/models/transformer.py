@@ -257,11 +257,17 @@ def apply(
     context: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Teacher-forced parallel pass (future_n given) or KV-cached
-    autoregressive decode (future_n None). ``rng``/``teacher_prob`` are
-    accepted for API uniformity; the transformer trains with teacher
-    forcing (scheduled sampling is an RNN curriculum trick — the causal
-    parallel pass is what makes transformer training fast)."""
-    del rng, teacher_prob, context
+    autoregressive decode (future_n None).
+
+    Sequential scheduled sampling would serialize the parallel pass, so
+    the transformer's exposure-bias curriculum is NOISY teacher forcing
+    instead: when ``rng`` is provided (cfg.scheduled_sampling on), the
+    teacher inputs are perturbed with zero-mean Gaussian noise whose
+    scale anneals with (1 - teacher_prob) relative to the target
+    std — the decoder learns to correct imperfect previous positions,
+    which is what it faces during AR serving, while training stays one
+    causal parallel pass."""
+    del context
     enc_mem = _encode(params, cfg, past_n)
     peer_mem = peer_valid = None
     if other_future_n is not None:
@@ -272,16 +278,23 @@ def apply(
     y0 = past_n[:, -1, :].astype(cfg.dtype)
     if future_n is not None:
         return _parallel_decode(
-            params, cfg, enc_mem, peer_mem, peer_valid, y0, future_n
+            params, cfg, enc_mem, peer_mem, peer_valid, y0, future_n,
+            rng=rng, teacher_prob=teacher_prob,
         )
     return _ar_decode(params, cfg, enc_mem, peer_mem, peer_valid, y0)
 
 
-def _parallel_decode(params, cfg, enc_mem, peer_mem, peer_valid, y0, future_n):
+def _parallel_decode(params, cfg, enc_mem, peer_mem, peer_valid, y0, future_n,
+                     *, rng=None, teacher_prob=1.0):
     t = future_n.shape[1]
     tokens_in = jnp.concatenate(
         [y0[:, None], future_n[:, :-1].astype(cfg.dtype)], axis=1
     )  # teacher inputs: true position at t-1
+    if rng is not None:
+        sigma = (1.0 - teacher_prob) * jnp.std(future_n.astype(jnp.float32))
+        tokens_in = tokens_in + (
+            sigma * jax.random.normal(rng, tokens_in.shape, jnp.float32)
+        ).astype(tokens_in.dtype)
     x = jnp.dot(tokens_in, params["in_proj"]) + _pos_enc(t, cfg.hidden)
     causal = jnp.tril(jnp.ones((t, t), bool))[None]
     for layer in params["dec"]:

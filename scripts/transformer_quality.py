@@ -25,19 +25,32 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def variants(base):
-    """(name, cfg) grid: base first, then one-knob deviations."""
+    """(name, cfg, with_peers) grid: base first, then knob deviations.
+    Peers = cross-viewer context (apples-to-apples with
+    stacked-ss-crossuser); 'noise' = annealed noisy teacher forcing
+    (models/transformer.py exposure-bias curriculum)."""
     m = base.model
+    l2 = dataclasses.replace(m, layers=2)
     out = [
-        ("transformer-30", base),
-        ("transformer-30-peers", base),  # peers wired via data, same cfg
-        ("transformer-30-l2", base.replace(
-            model=dataclasses.replace(m, layers=2))),
+        ("transformer-30", base, False),
+        ("transformer-30-peers", base, True),
+        ("transformer-30-l2", base.replace(model=l2), False),
         ("transformer-30-h256", base.replace(
-            model=dataclasses.replace(m, hidden=256))),
-        ("transformer-30-lr1e3", base.replace(lr=1e-3, warmup_steps=300)),
+            model=dataclasses.replace(m, hidden=256)), False),
+        ("transformer-30-lr1e3", base.replace(lr=1e-3, warmup_steps=300),
+         False),
         ("transformer-30-l2-lr1e3", base.replace(
-            model=dataclasses.replace(m, layers=2), lr=1e-3,
-            warmup_steps=300)),
+            model=l2, lr=1e-3, warmup_steps=300), False),
+        ("transformer-30-peers-lr1e3", base.replace(
+            lr=1e-3, warmup_steps=300), True),
+        ("transformer-30-l2-peers-lr1e3", base.replace(
+            model=l2, lr=1e-3, warmup_steps=300), True),
+        ("transformer-30-peers-noise", base.replace(
+            lr=1e-3, warmup_steps=300,
+            scheduled_sampling=True, ss_start=1.0, ss_end=0.5), True),
+        ("transformer-30-l2-peers-noise", base.replace(
+            model=l2, lr=1e-3, warmup_steps=300,
+            scheduled_sampling=True, ss_start=1.0, ss_end=0.5), True),
     ]
     return out
 
@@ -77,10 +90,9 @@ def main():
 
     log_fh = open(args.log, "a")
     rows = []
-    for name, cfg in variants(base):
+    for name, cfg, with_peers in variants(base):
         if only and name not in only:
             continue
-        with_peers = name.endswith("-peers")
         trd, ted = (trd_p, ted_p) if with_peers else (trd_np, ted_np)
         cfg = cfg.replace(steps=args.steps, eval_every=args.steps)
         if cfg.batch_size > len(trd["past"]):

@@ -102,3 +102,32 @@ def test_transformer_trains():
     )
     assert np.isfinite(hist[-1]["loss"])
     assert hist[-1]["loss"] < 0.3, hist
+
+
+def test_noisy_teacher_forcing_semantics():
+    """rng + teacher_prob=1.0 must equal the noiseless pass (sigma=0);
+    teacher_prob<1 must perturb the parallel pass (the exposure-bias
+    curriculum is live); the AR decode path ignores both."""
+    cfg = Seq2SeqConfig(d=3, hidden=32, layers=1, h_in=6, h_out=6)
+    params = TF.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    past = rng.normal(size=(4, 6, 3)).astype(np.float32) * 0.1
+    fut = rng.normal(size=(4, 6, 3)).astype(np.float32) * 0.1
+    past, fut = jnp.asarray(past), jnp.asarray(fut)
+
+    clean = TF.apply(params, cfg, past, fut)
+    same = TF.apply(
+        params, cfg, past, fut, rng=jax.random.PRNGKey(1), teacher_prob=1.0
+    )
+    np.testing.assert_allclose(np.asarray(clean), np.asarray(same), atol=1e-7)
+
+    noisy = TF.apply(
+        params, cfg, past, fut, rng=jax.random.PRNGKey(1), teacher_prob=0.3
+    )
+    assert float(jnp.max(jnp.abs(noisy - clean))) > 1e-4
+
+    ar_a = TF.apply(params, cfg, past, None)
+    ar_b = TF.apply(
+        params, cfg, past, None, rng=jax.random.PRNGKey(1), teacher_prob=0.3
+    )
+    np.testing.assert_allclose(np.asarray(ar_a), np.asarray(ar_b), atol=1e-7)
