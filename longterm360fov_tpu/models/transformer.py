@@ -408,30 +408,43 @@ def serve_fused(
 ) -> jax.Array:
     """Serving AR decode through the fused whole-horizon Pallas kernel
     (ops.transformer_decode): encoder runs as one XLA parallel pass,
-    then the entire 100-step rollout — all layers, self+cross attention
+    then the entire rollout — all layers, self+cross(+peer) attention
     with VMEM-resident KV caches, MLPs, feedback — is ONE kernel.
 
     Peer (cross-viewer) attention multiplies the resident-cache
-    footprint by K peers and is served by the XLA scan path instead
-    (exact, slower); see ops/transformer_decode.py for the escalation
-    plan if peer serving ever becomes hot.
+    footprint by K peers: when the whole resident set fits VMEM
+    (peer_vmem_fits — true for the 30-frame matched-horizon configs,
+    K·T ≈ 120 tokens) peers ride the fused kernel; otherwise (e.g. the
+    100-frame preset's K·T = 400) the exact XLA scan path serves them.
     """
     del context
-    if other_future_n is not None:
-        return apply(
-            params, cfg, past_n,
-            other_future_n=other_future_n, other_mask=other_mask,
-        )
-    from ..ops.transformer_decode import fused_ar_decode
+    from ..ops.transformer_decode import fused_ar_decode, peer_vmem_fits
 
     if compute_dtype is None:
         compute_dtype = (
             jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
         )
+    peer_mem = peer_valid = None
+    if other_future_n is not None:
+        if not peer_vmem_fits(
+            cfg, len(params["dec"]),
+            other_future_n.shape[1] * other_future_n.shape[2],
+            tile_b=tile_b, compute_dtype=compute_dtype,
+        ):
+            return apply(
+                params, cfg, past_n,
+                other_future_n=other_future_n, other_mask=other_mask,
+            )
+        peer_mem, peer_valid = _peer_tokens(
+            params, cfg, other_future_n, other_mask
+        )
+        peer_mem = peer_mem.astype(jnp.float32)
     enc_mem = _encode(params, cfg, past_n)
     y0 = past_n[:, -1, :].astype(cfg.dtype)
     return fused_ar_decode(
-        params, cfg, enc_mem, y0, tile_b=tile_b, compute_dtype=compute_dtype
+        params, cfg, enc_mem, y0,
+        peer_mem=peer_mem, peer_valid=peer_valid,
+        tile_b=tile_b, compute_dtype=compute_dtype,
     )
 
 

@@ -54,7 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models.seq2seq import Seq2SeqConfig
 
-__all__ = ["fused_ar_decode"]
+__all__ = ["fused_ar_decode", "peer_vmem_fits"]
 
 N_HEADS = 4  # matches models.transformer.N_HEADS
 MLP_MULT = 4
@@ -73,17 +73,21 @@ def _decode_kernel(
     hidden: int,
     d: int,
     tile_b: int,
+    kt_pad: int,
     compute_dtype,
 ):
     """refs layout:
     inputs (all vectors pre-transposed to column form (…, H, 1) so they
     broadcast over the lane=batch axis without in-kernel relayouts):
       cross_kv  (n_tiles, L, 2, H, T_in_pad, tile_b) ANY (HBM; one DMA/tile)
+      peer_kv   (n_tiles, L, 2, H, KT_pad, tile_b) ANY — only if kt_pad
+      peer_mask (KT_pad, tile_b) f32 0/1 VMEM block — only if kt_pad
       y0        (D, B) f32 — last observed position per viewer
-      attn_w    (L, 6, H, H)   [wqᵀ,wkᵀ,wvᵀ,woᵀ self, wqᵀ,woᵀ cross]
+      attn_w    (L, 8, H, H)   [wqᵀ,wkᵀ,wvᵀ,woᵀ self, wqᵀ,woᵀ cross,
+                                wqᵀ,woᵀ peer]
       mlp_w1    (L, 4H, H) ᵀ   mlp_b1 (L, 4H, 1)
       mlp_w2    (L, H, 4H) ᵀ   mlp_b2 (L, H, 1)
-      ln_w      (L, 3, 2, H, 1)   [ln1, ln2, ln4] × [scale, bias]
+      ln_w      (L, 4, 2, H, 1)   [ln1, ln2, ln4, ln3] × [scale, bias]
       fin_ln    (2, H, 1)
       w_in      (H, D) ᵀ of in_proj
       w_out     (D, H) ᵀ of out_proj;  b_out (D, 1)
@@ -92,15 +96,18 @@ def _decode_kernel(
       ys        (D, T_out, B) f32
     scratch:
       cross_s   (L, 2, H, T_in_pad, tile_b) compute_dtype
+      peer_s    (L, 2, H, KT_pad, tile_b) compute_dtype — only if kt_pad
       k_s, v_s  (H, T_out_pad, tile_b) compute_dtype × L each (self KV;
                 kept 3-D per layer — dynamic sublane stores into refs
                 with extra leading dims miscompiled on this Mosaic
                 build: wrong rows for some (t, T_pad) combinations)
       y_s       (D, tile_b) f32 fed-back token
-      sem       DMA semaphore
+      sem       DMA semaphore (+ peer_sem if kt_pad)
     """
     it = iter(refs)
     cross_ref = next(it)
+    peer_ref = next(it) if kt_pad else None
+    pmask_ref = next(it) if kt_pad else None
     y0_ref = next(it)
     attn_w = next(it)
     mlp_w1 = next(it)
@@ -115,15 +122,20 @@ def _decode_kernel(
     pos_ref = next(it)
     ys_ref = next(it)
     cross_s = next(it)
+    peer_s = next(it) if kt_pad else None
     k_s = [next(it) for _ in range(n_layers)]
     v_s = [next(it) for _ in range(n_layers)]
     y_s = next(it)
     sem = next(it)
+    peer_sem = next(it) if kt_pad else None
 
     i = pl.program_id(0)
     # one bulk DMA per batch tile: static cross K/V HBM → VMEM
     dma = pltpu.make_async_copy(cross_ref.at[i], cross_s, sem)
     dma.start()
+    if kt_pad:
+        peer_dma = pltpu.make_async_copy(peer_ref.at[i], peer_s, peer_sem)
+        peer_dma.start()
     # zero the self KV cache while the DMA flies: positions > t are
     # masked out of the softmax, but the value contraction still reads
     # them, and garbage * 0 = NaN when the garbage is NaN/inf
@@ -131,6 +143,12 @@ def _decode_kernel(
         k_s[l][:] = jnp.zeros_like(k_s[l])
         v_s[l][:] = jnp.zeros_like(v_s[l])
     dma.wait()
+    if kt_pad:
+        peer_dma.wait()
+        pmask = pmask_ref[:] > 0.0  # (KT_pad, B) validity
+        # viewers with zero valid peers gate their peer-attention
+        # residual to exactly 0 (models/transformer._decoder_block)
+        has_peer = jnp.max(pmask_ref[:], axis=0, keepdims=True) > 0.0
 
     y_s[:] = y0_ref[:]
 
@@ -160,19 +178,23 @@ def _decode_kernel(
             preferred_element_type=jnp.float32, precision=prec,
         )
 
-    def attend(q, k_read, v_read, n_valid, t_step, causal):
+    def attend(q, k_read, v_read, n_valid, t_step, causal, mask=None):
         """q (H, B) f32 → attention output (H, B) f32. ``k_read``/
         ``v_read``: head-slice → (head, T_pad, B) cache view. Per-head
         VPU flash pattern: logits and the value contraction are
         elementwise multiplies + sublane reductions — per-viewer
-        attention never becomes an MXU matvec."""
+        attention never becomes an MXU matvec. ``mask`` (T_pad, B) bool
+        overrides the positional validity (peer attention)."""
         outs = []
         t_pad = k_read(slice(0, head)).shape[1]
-        t_ids = lax.broadcasted_iota(jnp.int32, (t_pad, tile_b), 0)
-        if causal:
-            valid = t_ids <= t_step
+        if mask is not None:
+            valid = mask
         else:
-            valid = t_ids < n_valid
+            t_ids = lax.broadcasted_iota(jnp.int32, (t_pad, tile_b), 0)
+            if causal:
+                valid = t_ids <= t_step
+            else:
+                valid = t_ids < n_valid
         for n in range(N_HEADS):
             sl = slice(n * head, (n + 1) * head)
             qh = q[sl, :] * scale  # (head, B)
@@ -234,6 +256,16 @@ def _decode_kernel(
                 t_in, t, causal=False,
             )
             x = x + mm(attn_w[l, 5], attc)
+            # -- cross-viewer (peer) attention over resident peer K/V --
+            if kt_pad:
+                qp = mm(attn_w[l, 6], ln(x, ln_w[l, 3, 0], ln_w[l, 3, 1]))
+                attp = attend(
+                    qp,
+                    lambda sl: peer_s[l, 0, sl, :, :],
+                    lambda sl: peer_s[l, 1, sl, :, :],
+                    None, t, causal=False, mask=pmask,
+                )
+                x = x + jnp.where(has_peer, mm(attn_w[l, 7], attp), 0.0)
             # -- mlp --
             h1 = jax.nn.gelu(
                 mm(mlp_w1[l], ln(x, ln_w[l, 2, 0], ln_w[l, 2, 1]))
@@ -259,10 +291,13 @@ def _pack_weights(params: Dict, cfg: Seq2SeqConfig, compute_dtype):
 
     attn_w, mlp_w1, mlp_b1, mlp_w2, mlp_b2, ln_w = [], [], [], [], [], []
     for layer in params["dec"]:
-        sa, ca = layer["self_attn"], layer["cross_attn"]
+        sa, ca, pa = (
+            layer["self_attn"], layer["cross_attn"], layer["peer_attn"]
+        )
         attn_w.append(
             jnp.stack([T(sa["wq"]), T(sa["wk"]), T(sa["wv"]), T(sa["wo"]),
-                       T(ca["wq"]), T(ca["wo"])])
+                       T(ca["wq"]), T(ca["wo"]),
+                       T(pa["wq"]), T(pa["wo"])])
         )
         mlp_w1.append(T(layer["mlp"]["w1"]))
         mlp_b1.append(jnp.asarray(layer["mlp"]["b1"], jnp.float32)[:, None])
@@ -274,8 +309,9 @@ def _pack_weights(params: Dict, cfg: Seq2SeqConfig, compute_dtype):
                     jnp.stack([layer["ln1"]["scale"], layer["ln1"]["bias"]]),
                     jnp.stack([layer["ln2"]["scale"], layer["ln2"]["bias"]]),
                     jnp.stack([layer["ln4"]["scale"], layer["ln4"]["bias"]]),
+                    jnp.stack([layer["ln3"]["scale"], layer["ln3"]["bias"]]),
                 ]
-            ).astype(jnp.float32)[..., None]  # (3, 2, H, 1)
+            ).astype(jnp.float32)[..., None]  # (4, 2, H, 1) [ln1,ln2,ln4,ln3]
         )
     fin_ln = jnp.stack(
         [params["final_ln"]["scale"], params["final_ln"]["bias"]]
@@ -300,6 +336,8 @@ def fused_ar_decode(
     enc_mem: jax.Array,  # (B, T_in, H) encoder memory (XLA _encode output)
     y0: jax.Array,  # (B, D) last observed position
     *,
+    peer_mem: jax.Array = None,  # (B, KT, H) peer tokens (_peer_tokens)
+    peer_valid: jax.Array = None,  # (B, KT) bool
     tile_b: int = 128,
     compute_dtype=jnp.bfloat16,
 ) -> jax.Array:
@@ -308,7 +346,11 @@ def fused_ar_decode(
     Cross K/V are projected from enc_mem OUTSIDE the kernel (two big
     MXU matmuls per layer over all T_in tokens at once), laid out
     feature-major + batch-tiled, and DMA'd once per tile; everything
-    else happens inside one pallas_call.
+    else happens inside one pallas_call. Peer (cross-viewer) memory
+    rides the same pattern: per-layer peer K/V projected outside,
+    DMA'd per tile, attended with the validity mask in VMEM — use
+    :func:`peer_vmem_fits` to decide whether the resident footprint
+    fits before choosing this tier.
     """
     b_orig = enc_mem.shape[0]
     if not _interpret() and b_orig % 128 != 0:
@@ -319,6 +361,13 @@ def fused_ar_decode(
             enc_mem, ((0, b_pad - b_orig), (0, 0), (0, 0))
         )
         y0 = jnp.pad(y0, ((0, b_pad - b_orig), (0, 0)))
+        if peer_mem is not None:
+            peer_mem = jnp.pad(
+                peer_mem, ((0, b_pad - b_orig), (0, 0), (0, 0))
+            )
+            peer_valid = jnp.pad(
+                peer_valid, ((0, b_pad - b_orig), (0, 0))
+            )
     b, t_in, h = enc_mem.shape
     d = y0.shape[-1]
     t_out = cfg.h_out
@@ -327,6 +376,10 @@ def fused_ar_decode(
     gran = 16 if compute_dtype == jnp.bfloat16 else 8
     t_in_pad = _round_up(t_in, gran)
     t_out_pad = _round_up(t_out, gran)
+    kt_pad = 0
+    if peer_mem is not None:
+        kt = peer_mem.shape[1]
+        kt_pad = _round_up(kt, gran)
     tile_b = _pick_tile(b, tile_b)
     n_tiles = b // tile_b
 
@@ -338,24 +391,35 @@ def fused_ar_decode(
         if compute_dtype == jnp.float32
         else jax.lax.Precision.DEFAULT
     )
-    ckv = []
-    for layer in params["dec"]:
-        ca = layer["cross_attn"]
-        ck = jnp.dot(enc_mem, ca["wk"],
-                     preferred_element_type=jnp.float32, precision=prec)
-        cv = jnp.dot(enc_mem, ca["wv"],
-                     preferred_element_type=jnp.float32, precision=prec)
-        ckv.append(jnp.stack([ck, cv]))  # (2, B, T_in, H)
-    cross = jnp.stack(ckv)  # (L, 2, B, T_in, H)
-    cross = jnp.transpose(cross, (0, 1, 4, 3, 2)).astype(compute_dtype)
-    cross = jnp.pad(
-        cross, ((0, 0), (0, 0), (0, 0), (0, t_in_pad - t_in), (0, 0))
-    )
-    # pre-tile the batch axis so the per-tile DMA is one contiguous block
-    cross = jnp.transpose(
-        cross.reshape(n_layers, 2, h, t_in_pad, n_tiles, tile_b),
-        (4, 0, 1, 2, 3, 5),
-    )  # (n_tiles, L, 2, H, T_in_pad, tile_b)
+    def project_kv(mem, attn_key, t_pad):
+        """(B, T, H) memory → (n_tiles, L, 2, H, t_pad, tile_b), the
+        per-tile contiguous feature-major DMA layout."""
+        kvs = []
+        for layer in params["dec"]:
+            p = layer[attn_key]
+            k = jnp.dot(mem, p["wk"],
+                        preferred_element_type=jnp.float32, precision=prec)
+            v = jnp.dot(mem, p["wv"],
+                        preferred_element_type=jnp.float32, precision=prec)
+            kvs.append(jnp.stack([k, v]))  # (2, B, T, H)
+        kv = jnp.stack(kvs)  # (L, 2, B, T, H)
+        kv = jnp.transpose(kv, (0, 1, 4, 3, 2)).astype(compute_dtype)
+        kv = jnp.pad(
+            kv, ((0, 0), (0, 0), (0, 0), (0, t_pad - mem.shape[1]), (0, 0))
+        )
+        return jnp.transpose(
+            kv.reshape(n_layers, 2, h, t_pad, n_tiles, tile_b),
+            (4, 0, 1, 2, 3, 5),
+        )
+
+    cross = project_kv(enc_mem, "cross_attn", t_in_pad)
+    if kt_pad:
+        peer = project_kv(peer_mem, "peer_attn", kt_pad)
+        # validity → (KT_pad, B) f32 0/1, sublane-major like the caches
+        pmask = jnp.pad(
+            peer_valid.astype(jnp.float32),
+            ((0, 0), (0, kt_pad - peer_valid.shape[1])),
+        ).T
 
     pos = _pos_enc_t(t_out, h)  # (H, T_out) f32
 
@@ -369,6 +433,7 @@ def fused_ar_decode(
         hidden=h,
         d=d,
         tile_b=tile_b,
+        kt_pad=kt_pad,
         compute_dtype=compute_dtype,
     )
 
@@ -379,9 +444,20 @@ def fused_ar_decode(
 
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),  # cross (manual DMA)
-        pl.BlockSpec((d, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM),
     ]
-    inputs = [cross, jnp.transpose(y0.astype(jnp.float32), (1, 0))]
+    inputs = [cross]
+    if kt_pad:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # peer (DMA)
+        inputs.append(peer)
+        in_specs.append(
+            pl.BlockSpec((kt_pad, tile_b), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+        )
+        inputs.append(pmask)
+    in_specs.append(
+        pl.BlockSpec((d, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM)
+    )
+    inputs.append(jnp.transpose(y0.astype(jnp.float32), (1, 0)))
     for key in ("attn_w", "mlp_w1", "mlp_b1", "mlp_w2", "mlp_b2", "ln_w",
                 "fin_ln", "w_in", "w_out", "b_out"):
         in_specs.append(inv_spec(w[key]))
@@ -390,10 +466,25 @@ def fused_ar_decode(
     inputs.append(pos)
 
     vmem_bytes = (
-        2 * n_layers * 2 * h * max(t_in_pad, t_out_pad) * tile_b
+        2 * n_layers * 2 * h * (max(t_in_pad, t_out_pad) + kt_pad) * tile_b
         * (2 if compute_dtype == jnp.bfloat16 else 4)
         + 24 * 1024 * 1024  # weights + temporaries headroom
     )
+    scratch = [
+        pltpu.VMEM((n_layers, 2, h, t_in_pad, tile_b), compute_dtype)
+    ]
+    if kt_pad:
+        scratch.append(
+            pltpu.VMEM((n_layers, 2, h, kt_pad, tile_b), compute_dtype)
+        )
+    scratch += [
+        pltpu.VMEM((h, t_out_pad, tile_b), compute_dtype)
+        for _ in range(2 * n_layers)
+    ]
+    scratch.append(pltpu.VMEM((d, tile_b), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA)
+    if kt_pad:
+        scratch.append(pltpu.SemaphoreType.DMA)
     ys = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -402,21 +493,36 @@ def fused_ar_decode(
         out_specs=pl.BlockSpec(
             (d, t_out, tile_b), lambda i: (0, 0, i), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[
-            pltpu.VMEM((n_layers, 2, h, t_in_pad, tile_b), compute_dtype),
-            *[
-                pltpu.VMEM((h, t_out_pad, tile_b), compute_dtype)
-                for _ in range(2 * n_layers)
-            ],
-            pltpu.VMEM((d, tile_b), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(vmem_bytes, 120 * 1024 * 1024)
         ),
         interpret=_interpret(),
     )(*inputs)
     return jnp.transpose(ys, (2, 1, 0))[:b_orig]  # (B, T_out, D)
+
+
+def peer_vmem_fits(
+    cfg: Seq2SeqConfig,
+    n_layers: int,
+    kt: int,
+    *,
+    tile_b: int = 128,
+    compute_dtype=jnp.bfloat16,
+    budget: int = 100 * 1024 * 1024,
+) -> bool:
+    """Can the whole resident set (self + cross + peer K/V caches) fit
+    the ~100 MB usable VMEM at this tile? False ⇒ serve peers on the
+    XLA path instead (models/transformer.serve_fused routing)."""
+    esize = 2 if compute_dtype == jnp.bfloat16 else 4
+    gran = 16 if compute_dtype == jnp.bfloat16 else 8
+    h = cfg.hidden
+    rows = (
+        2 * _round_up(cfg.h_out, gran)  # self K+V per layer
+        + 2 * _round_up(cfg.h_in, gran)  # cross K+V per layer
+        + 2 * _round_up(kt, gran)  # peer K+V per layer
+    )
+    return n_layers * rows * h * tile_b * esize + 24 * 1024 * 1024 <= budget
 
 
 def _pos_enc_t(t: int, h: int) -> jax.Array:

@@ -59,8 +59,8 @@ def test_fused_ar_decode_bf16_close():
 
 
 def test_transformer_serve_fused_family_entry():
-    """models.transformer.serve_fused == XLA AR decode; with peers it
-    must fall back to the exact XLA path (peer attention included)."""
+    """models.transformer.serve_fused == XLA AR decode; with peers that
+    fit VMEM they ride the fused kernel (parity vs the XLA peer path)."""
     cfg, params, past = _setup(seed=5)
     ref = TR.apply(params, cfg, past)
     out = TR.serve_fused(params, cfg, past, compute_dtype=jnp.float32)
@@ -71,9 +71,51 @@ def test_transformer_serve_fused_family_entry():
     mask = jnp.ones((8, 2))
     ref_p = TR.apply(params, cfg, past, other_future_n=others, other_mask=mask)
     out_p = TR.serve_fused(
-        params, cfg, past, other_future_n=others, other_mask=mask
+        params, cfg, past, other_future_n=others, other_mask=mask,
+        compute_dtype=jnp.float32,
     )
-    np.testing.assert_allclose(np.asarray(out_p), np.asarray(ref_p), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(ref_p), atol=3e-5)
+
+
+def test_fused_peer_attention_parity_masked():
+    """Fused peer tier vs XLA with a MIXED mask: one viewer fully
+    masked (must gate peer attention to exactly the no-peer output),
+    one partially masked, rest fully valid."""
+    cfg, params, past = _setup(layers=2, h_in=6, h_out=7, b=8, seed=6)
+    rng = np.random.default_rng(6)
+    others = jnp.asarray(
+        rng.normal(size=(8, 3, 7, 3)).astype(np.float32) * 0.1
+    )
+    mask = np.ones((8, 3), np.float32)
+    mask[0] = 0.0  # no valid peers
+    mask[1, 1:] = 0.0  # one valid peer
+    mask = jnp.asarray(mask)
+
+    ref = TR.apply(params, cfg, past, other_future_n=others, other_mask=mask)
+    enc = TR._encode(params, cfg, past)
+    peer_mem, peer_valid = TR._peer_tokens(params, cfg, others, mask)
+    out = fused_ar_decode(
+        params, cfg, enc, past[:, -1, :],
+        peer_mem=peer_mem.astype(jnp.float32), peer_valid=peer_valid,
+        compute_dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+    # the all-masked viewer must equal the entirely-peerless rollout
+    ref_nopeer = TR.apply(params, cfg, past)
+    np.testing.assert_allclose(
+        np.asarray(out)[0], np.asarray(ref_nopeer)[0], atol=3e-5
+    )
+
+
+def test_peer_vmem_routing():
+    """30-frame/K=4 fits the resident budget; the 100-frame preset's
+    K*T=400 peer tokens must NOT (serve_fused falls back to XLA)."""
+    from longterm360fov_tpu.ops.transformer_decode import peer_vmem_fits
+
+    cfg30 = Seq2SeqConfig(d=3, hidden=128, layers=4, h_in=30, h_out=30)
+    cfg100 = Seq2SeqConfig(d=3, hidden=128, layers=4, h_in=100, h_out=100)
+    assert peer_vmem_fits(cfg30, 4, 4 * 30, compute_dtype=jnp.bfloat16)
+    assert not peer_vmem_fits(cfg100, 4, 4 * 100, compute_dtype=jnp.bfloat16)
 
 
 def test_transformer_fused_predict_fn():
