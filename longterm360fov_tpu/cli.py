@@ -167,7 +167,7 @@ def _load_or_synth_data(args, cfg):
     return D.windows_from_store(
         store, cfg.model.h_in, cfg.model.h_out,
         stride=cfg.stride, n_other_users=cfg.n_other_users
-        if cfg.model_family == "cross_user" else 0,
+        if cfg.model_family in ("cross_user", "transformer") else 0,
     )
 
 
@@ -228,6 +228,17 @@ def cmd_train(args):
             f"{cfg.name!r} expects {cfg.model.h_in}-in/{cfg.model.h_out}-out; "
             f"re-run prepare-data with matching --h-in/--h-out"
         )
+    if (
+        cfg.model_family in ("cross_user", "transformer")
+        and cfg.n_other_users
+        and train_d.get("other_future") is None
+    ):
+        print(
+            f"note: {cfg.name!r} uses cross-viewer context but the packed "
+            f"data has none — re-run prepare-data with --n-other-users "
+            f"{cfg.n_other_users} to enable it (training proceeds with "
+            f"zero context)"
+        )
     if cfg.batch_size > len(train_d["past"]):
         cfg = cfg.replace(batch_size=len(train_d["past"]))
     if cfg.accum > 1 and cfg.batch_size % cfg.accum:
@@ -256,6 +267,7 @@ def cmd_train(args):
         state, history = train_loop_dp(
             cfg, fam.init, fam.apply, train_d,
             eval_data=test_d or None, log_file=args.log_file,
+            tb_dir=args.tb_dir,
             checkpoint_dir=args.ckpt_dir, state=state, extras_fn=extras_fn,
             fused_tf_fn=fused_tf_fn, fused_ss_fn=fused_ss_fn,
         )

@@ -129,6 +129,22 @@ def _presets() -> Dict[str, ExperimentConfig]:
             lr=3e-4,
             warmup_steps=200,
         ),
+        # Matched-horizon transformer (extension beyond the BASELINE rows):
+        # the recipe that beats the best LSTM config at 30 frames —
+        # 2 layers, cross-viewer peers, annealed noisy teacher forcing
+        # (RESULTS.md round-2 table: 6.54° vs stacked-ss-crossuser 7.20°).
+        # Step-hungry: needs ~4000 steps where the LSTMs saturate by 1500.
+        "transformer-30": ExperimentConfig(
+            name="transformer-30",
+            model=Seq2SeqConfig(d=3, hidden=128, layers=2, h_in=30, h_out=30),
+            model_family="transformer",
+            lr=1e-3,
+            warmup_steps=300,
+            steps=4000,
+            scheduled_sampling=True,  # transformer: noisy teacher forcing
+            ss_start=1.0,
+            ss_end=0.3,
+        ),
     }
 
 

@@ -58,13 +58,21 @@ def encode_peers(
 ) -> jax.Array:
     """→ (B, ctx_dim) masked-mean peer embedding.
 
-    ``use_fused_seq`` routes the (B*K)-batch LSTM through the fused
-    Pallas training primitive (ops.lstm_train) — used by the fused
-    training wrappers; numerics match the scan path (parity-tested).
+    ``use_fused_seq`` routes the (B*K)-batch LSTM through a fused
+    Pallas kernel — ``True``/``"train"`` uses the differentiable
+    training primitive (ops.lstm_train, saves per-step residuals for
+    the backward), ``"serve"`` uses the inference-only encode kernel
+    (ops.fused_lstm.fused_encode, final state only — the training
+    primitive's residuals are ~T× the HBM traffic and OOM at
+    B·K ≥ 256K rows). Numerics match the scan path (parity-tested).
     """
     b, k, t, d = other_future_n.shape
     flat = other_future_n.reshape(b * k, t, d).astype(cfg.dtype)
-    if use_fused_seq:
+    if use_fused_seq == "serve":
+        from ..ops.fused_lstm import fused_encode
+
+        h = fused_encode([params["peer_encoder"]], flat.astype(jnp.float32))
+    elif use_fused_seq:
         from ..ops.lstm_train import lstm_seq
 
         h = lstm_seq([params["peer_encoder"]], flat.astype(jnp.float32))[
@@ -181,14 +189,16 @@ def serve_fused(
     tile_b: int = 2048,
 ) -> jax.Array:
     """Whole-request fused serve with peer conditioning: peers encode
-    through the fused Pallas sequence primitive (ops.lstm_train — the
-    XLA scan here cost 37% of the preset's serve FLOPs as ~30 HBM-bound
-    steps, bench_matrix r2), then the fused serve kernel runs with the
-    resulting context."""
+    through the inference-only fused encode kernel (the XLA scan here
+    cost 37% of the preset's serve FLOPs as ~30 HBM-bound steps;
+    the fused TRAINING primitive OOMs HBM at B·K ≥ 256K rows because it
+    materializes every step's residuals — bench_matrix r2), then the
+    fused serve kernel runs with the resulting context."""
     if context is None:
         if other_future_n is not None:
             context = encode_peers(
-                params, cfg, other_future_n, other_mask, use_fused_seq=True
+                params, cfg, other_future_n, other_mask,
+                use_fused_seq="serve",
             )
         else:
             # decoder weights always carry ctx rows when ctx_dim > 0

@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models.cell import LSTMParams
 
-__all__ = ["fused_lstm_cell", "fused_decode", "fused_serve"]
+__all__ = ["fused_lstm_cell", "fused_decode", "fused_serve", "fused_encode"]
 
 
 from ._tiling import interpret as _interpret, pick_tile as _pick_tile, round_up as _round_up
@@ -496,3 +496,133 @@ def fused_serve(
         interpret=_interpret(),
     )(*inputs)
     return jnp.transpose(ys, (2, 1, 0))
+
+
+# ---------------------------------------------------------------------------
+# Tier 4: whole-sequence fused encoder (final state only — serving)
+# ---------------------------------------------------------------------------
+
+
+def _encode_kernel(
+    *refs,
+    n_layers: int,
+    t_in: int,
+    hidden: int,
+    d: int,
+    tile_b: int,
+    compute_dtype,
+):
+    """Encoder phase of _serve_kernel, standalone: xs (D, T, B) in,
+    final TOP-LAYER hidden state (B, H) out. States stay in VMEM; no
+    per-step sequence output — this is the serving-shaped peer/context
+    encoder (the training primitive ops.lstm_train materializes every
+    step's h/c for the backward, which is ~T× this kernel's HBM
+    traffic and OOMs at B·K ≥ 256K rows)."""
+    it = iter(refs)
+    xs_ref = next(it)
+    w_enc = [next(it) for _ in range(n_layers)]
+    b_enc = [next(it) for _ in range(n_layers)]
+    h_ref = next(it)
+    z_s = [next(it) for _ in range(n_layers)]
+    c_s = next(it)
+
+    for l in range(n_layers):
+        z_s[l][:] = jnp.zeros_like(z_s[l])
+    c_s[:] = jnp.zeros_like(c_s)
+
+    def cell(buf, l, in_l):
+        gates = (
+            jnp.dot(buf[:], w_enc[l][:], preferred_element_type=jnp.float32)
+            + b_enc[l][:]
+        )
+        i = jax.nn.sigmoid(gates[:, :hidden])
+        f = jax.nn.sigmoid(gates[:, hidden : 2 * hidden])
+        g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
+        o = jax.nn.sigmoid(gates[:, 3 * hidden :])
+        c_new = f * c_s[l] + i * g
+        h_new = o * jnp.tanh(c_new)
+        c_s[l] = c_new
+        buf[:, in_l:] = h_new.astype(buf.dtype)
+        return h_new
+
+    def enc_step(t, _):
+        x_t = xs_ref[:, pl.ds(t, 1), :][:, 0, :].T  # (tile_b, d)
+        inp = x_t
+        for l in range(n_layers):
+            in_l = d if l == 0 else hidden
+            z_s[l][:, :in_l] = inp.astype(z_s[l].dtype)
+            inp = cell(z_s[l], l, in_l)
+        return 0
+
+    lax.fori_loop(0, t_in, enc_step, 0)
+    in_last = d if n_layers == 1 else hidden
+    h_ref[:] = z_s[-1][:, in_last:].astype(jnp.float32)
+
+
+def fused_encode(
+    params: Sequence[LSTMParams],
+    xs: jax.Array,  # (B, T, D)
+    *,
+    tile_b: int = 2048,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """Whole-sequence LSTM encode → final top-layer hidden (B, H) in one
+    pallas_call. Inference-only (no residuals saved); use
+    ops.lstm_train.lstm_seq for the differentiable path."""
+    batch, t_in, d = xs.shape
+    n_layers = len(params)
+    hidden = params[0].w.shape[1] // 4
+    # VMEM-aware tile (same budget discipline as fused_serve)
+    words = 2 * d * t_in + n_layers * hidden + hidden
+    for l in range(n_layers):
+        words += _round_up((d if l == 0 else hidden) + hidden, 128)
+    rows = max((10 * 1024 * 1024 // (4 * words)) // 128 * 128, 128)
+    tile_b = _pick_tile(batch, min(tile_b, rows))
+    grid = (batch // tile_b,)
+
+    xs_t = jnp.transpose(xs.astype(jnp.float32), (2, 1, 0))  # (D, T, B)
+
+    kernel = functools.partial(
+        _encode_kernel,
+        n_layers=n_layers,
+        t_in=t_in,
+        hidden=hidden,
+        d=d,
+        tile_b=tile_b,
+        compute_dtype=compute_dtype,
+    )
+    in_specs = [
+        pl.BlockSpec((d, t_in, tile_b), lambda i: (0, 0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [xs_t]
+    for p in params:
+        in_specs.append(
+            pl.BlockSpec(p.w.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        inputs.append(p.w.astype(compute_dtype))
+    for p in params:
+        in_specs.append(
+            pl.BlockSpec((1, p.b.shape[0]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        inputs.append(p.b.reshape(1, -1).astype(jnp.float32))
+
+    scratch = []
+    for l in range(n_layers):
+        in_l = d if l == 0 else hidden
+        scratch.append(pltpu.VMEM((tile_b, in_l + hidden), compute_dtype))
+    scratch.append(pltpu.VMEM((n_layers, tile_b, hidden), jnp.float32))
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((batch, hidden), jnp.float32),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (tile_b, hidden), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=scratch,
+        interpret=_interpret(),
+    )(*inputs)

@@ -105,6 +105,7 @@ def train_loop_dp(
     *,
     eval_data=None,
     log_file: Optional[str] = None,
+    tb_dir: Optional[str] = None,
     checkpoint_dir: Optional[str] = None,
     state: Optional[TrainState] = None,
     mesh: Optional[Mesh] = None,
@@ -143,6 +144,11 @@ def train_loop_dp(
     )
     history = []
     log_fh = open(log_file, "a") if log_file else None
+    tb = None
+    if tb_dir:
+        from ..utils.profiling import TensorBoardWriter
+
+        tb = TensorBoardWriter(tb_dir)
     ckpt = None
     if checkpoint_dir:
         from .. import checkpoint as ckpt_mod
@@ -173,8 +179,12 @@ def train_loop_dp(
             if log_fh:
                 log_fh.write(json.dumps(m) + "\n")
                 log_fh.flush()
+            if tb:
+                tb.write(**m)
         if ckpt and ((i + 1) % cfg.ckpt_every == 0 or i + 1 == cfg.steps):
             ckpt.save(state, metrics=history[-1] if history else None)
     if log_fh:
         log_fh.close()
+    if tb:
+        tb.close()
     return state, history

@@ -51,6 +51,12 @@ def variants(base):
         ("transformer-30-l2-peers-noise", base.replace(
             model=l2, lr=1e-3, warmup_steps=300,
             scheduled_sampling=True, ss_start=1.0, ss_end=0.5), True),
+        ("transformer-30-l2-peers-noise3", base.replace(
+            model=l2, lr=1e-3, warmup_steps=300,
+            scheduled_sampling=True, ss_start=1.0, ss_end=0.3), True),
+        ("transformer-30-l2-peers-noise-b256", base.replace(
+            model=l2, lr=1e-3, warmup_steps=300, batch_size=256,
+            scheduled_sampling=True, ss_start=1.0, ss_end=0.5), True),
     ]
     return out
 

@@ -149,3 +149,38 @@ def test_fused_serve_with_context_parity():
             np.asarray(out), np.asarray(ref), atol=2e-5,
             err_msg=f"fused_serve ctx mismatch layers={layers}",
         )
+
+
+def test_fused_encode_parity():
+    """Tier-4 encode-only kernel vs the XLA scan encoder: final
+    top-layer hidden state, 1- and 2-layer stacks."""
+    import jax.numpy as jnp
+
+    from longterm360fov_tpu.models.cell import init_lstm, lstm_cell
+    from longterm360fov_tpu.ops.fused_lstm import fused_encode
+
+    rng = np.random.default_rng(11)
+    for layers in (1, 2):
+        keys = jax.random.split(jax.random.PRNGKey(layers), layers)
+        params = [
+            init_lstm(keys[l], 3 if l == 0 else 64, 64, jnp.float32)
+            for l in range(layers)
+        ]
+        xs = jnp.asarray(rng.normal(size=(16, 9, 3)).astype(np.float32))
+
+        def scan_encode(xs):
+            h = [jnp.zeros((16, 64), jnp.float32) for _ in range(layers)]
+            c = [jnp.zeros((16, 64), jnp.float32) for _ in range(layers)]
+            for t in range(xs.shape[1]):
+                inp = xs[:, t]
+                for l in range(layers):
+                    (h[l], c[l]) = lstm_cell(params[l], inp, (h[l], c[l]))
+                    inp = h[l]
+            return h[-1]
+
+        ref = scan_encode(xs)
+        out = fused_encode(params, xs)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5,
+            err_msg=f"fused_encode mismatch at layers={layers}",
+        )
