@@ -75,6 +75,7 @@ def _decode_kernel(
     tile_b: int,
     kt_pad: int,
     compute_dtype,
+    batched_heads: bool,
 ):
     """refs layout:
     inputs (all vectors pre-transposed to column form (…, H, 1) so they
@@ -185,7 +186,6 @@ def _decode_kernel(
         elementwise multiplies + sublane reductions — per-viewer
         attention never becomes an MXU matvec. ``mask`` (T_pad, B) bool
         overrides the positional validity (peer attention)."""
-        outs = []
         t_pad = k_read(slice(0, head)).shape[1]
         if mask is not None:
             valid = mask
@@ -195,6 +195,25 @@ def _decode_kernel(
                 valid = t_ids <= t_step
             else:
                 valid = t_ids < n_valid
+        if batched_heads:
+            # all 4 heads in one op chain: (N, head, T, B) segment
+            # reductions instead of a 4x-unrolled per-head chain — fewer,
+            # larger VPU ops (TODO round-3 lead)
+            q4 = (q * scale).reshape(N_HEADS, head, 1, tile_b)
+            k4 = k_read(slice(0, hidden)).reshape(
+                N_HEADS, head, t_pad, tile_b
+            )
+            logits = jnp.sum(q4 * k4, axis=1)  # (N, T_pad, B) f32
+            logits = jnp.where(valid[None], logits, -1e9)
+            m = jnp.max(logits, axis=1, keepdims=True)
+            w = jnp.exp(logits - m)
+            w = w / jnp.sum(w, axis=1, keepdims=True)
+            v4 = v_read(slice(0, hidden)).reshape(
+                N_HEADS, head, t_pad, tile_b
+            )
+            out = jnp.sum(w[:, None] * v4, axis=2)  # (N, head, B)
+            return out.reshape(hidden, tile_b)
+        outs = []
         for n in range(N_HEADS):
             sl = slice(n * head, (n + 1) * head)
             qh = q[sl, :] * scale  # (head, B)
@@ -340,6 +359,7 @@ def fused_ar_decode(
     peer_valid: jax.Array = None,  # (B, KT) bool
     tile_b: int = 128,
     compute_dtype=jnp.bfloat16,
+    batched_heads: bool = False,
 ) -> jax.Array:
     """Whole-horizon fused AR decode → (B, h_out, D) f32.
 
@@ -435,6 +455,7 @@ def fused_ar_decode(
         tile_b=tile_b,
         kt_pad=kt_pad,
         compute_dtype=compute_dtype,
+        batched_heads=batched_heads,
     )
 
     def inv_spec(arr):  # grid-invariant whole-array VMEM block

@@ -28,6 +28,9 @@ MATRIX = [
     ("stacked-ss-crossuser", 65536, 10, 4096, 40),
     ("video-fusion", 65536, 10, 4096, 40),
     ("transformer-10s", 4096, 5, 1024, 20),
+    # extension row: the matched-horizon quality recipe (RESULTS.md);
+    # serves WITH K=4 peers through the fused peer-attention tier
+    ("transformer-30", 16384, 5, 1024, 20),
 ]
 
 
@@ -63,11 +66,12 @@ def bench_serve(cfg, fam, params, batch_n, iters):
     from longterm360fov_tpu import train as TR
 
     extras = getattr(fam, "batch_extras", None)
-    # transformer fused serving is the no-peer tier (peer attention
-    # routes to the XLA path by design — models/transformer.serve_fused)
+    # the 100-frame preset's peer tokens exceed resident VMEM, so its
+    # fused row is the no-peer tier (serve_fused would route peers to
+    # XLA); the 30-frame row serves peers through the fused peer tier
     host = make_batch(
         cfg, batch_n, with_future=True,
-        with_peers=cfg.model_family != "transformer",
+        with_peers=cfg.name != "transformer-10s",
     )
     batch = {k: jnp.asarray(v) for k, v in host.items() if k != "future"}
 
