@@ -39,6 +39,27 @@ def _build_parser() -> argparse.ArgumentParser:
     pd.add_argument("--n-users", type=int, default=8, help="synthetic only")
     pd.add_argument("--n-videos", type=int, default=2, help="synthetic only")
     pd.add_argument("--n-frames", type=int, default=1200, help="synthetic only")
+    pd.add_argument(
+        "--features",
+        help="per-video feature npz from extract-features; windows gain "
+        "a 'features' vector for the fusion family",
+    )
+
+    xf = sub.add_parser(
+        "extract-features",
+        help="equirect video frames → per-frame feature vectors "
+        "(SURVEY.md §3.4: decode → saliency/motion → conv stack)",
+    )
+    xf.add_argument(
+        "--frames-dir", required=True,
+        help="directory of per-video frame sources (<video>.npy/.npz "
+        "arrays of (T,H,W,3) frames, or video files when OpenCV can "
+        "decode them)",
+    )
+    xf.add_argument("--out", required=True, help="output npz (one array per video)")
+    xf.add_argument("--max-frames", type=int)
+    xf.add_argument("--stride", type=int, default=1)
+    xf.add_argument("--seed", type=int, default=0, help="conv filter seed")
 
     tr = sub.add_parser("train", help="train a preset")
     tr.add_argument("--preset", required=True)
@@ -191,9 +212,15 @@ def cmd_prepare_data(args):
             n_users=args.n_users, n_videos=args.n_videos,
             n_frames=args.n_frames, rate_hz=args.rate_hz,
         )
+    video_features = None
+    if args.features:
+        with np.load(args.features) as z:
+            video_features = {k: z[k] for k in z.files}
+        print(f"loaded features for {len(video_features)} videos")
     train_d, test_d = D.windows_from_store(
         store, args.h_in, args.h_out, stride=args.stride,
         n_other_users=args.n_other_users,
+        video_features=video_features,
     )
     D.save_packed(args.out, train_d)
     test_path = args.out.replace(".npz", "") + "_test.npz"
@@ -482,6 +509,40 @@ def cmd_export(args):
     )
 
 
+def cmd_extract_features(args):
+    """§3.4 driver: per-video frame sources → cached per-frame feature
+    tensors for models.fusion (features.equirect.extract_clip_features:
+    decode on host, saliency/motion + Pallas conv+resize on device)."""
+    import jax
+
+    from .features import equirect as FE
+
+    params = FE.init_conv_features(jax.random.PRNGKey(args.seed))
+    feats = {}
+    for fname in sorted(os.listdir(args.frames_dir)):
+        path = os.path.join(args.frames_dir, fname)
+        if not os.path.isfile(path):
+            continue
+        video = os.path.splitext(fname)[0]
+        try:
+            frames = FE.decode_frames(
+                path, max_frames=args.max_frames, stride=args.stride
+            )
+        except (RuntimeError, ValueError) as e:
+            print(f"skipping {fname}: {e}")
+            continue
+        if frames.size == 0:
+            print(f"skipping {fname}: no frames")
+            continue
+        f = FE.extract_clip_features(params, frames)
+        feats[video] = np.asarray(f, np.float32)
+        print(f"{video}: {frames.shape[0]} frames -> {feats[video].shape}")
+    if not feats:
+        raise SystemExit(f"no decodable frame sources in {args.frames_dir}")
+    np.savez_compressed(args.out, **feats)
+    print(f"wrote {len(feats)} videos -> {args.out}")
+
+
 def cmd_presets(_args):
     from .config import PRESETS
 
@@ -503,6 +564,7 @@ def main(argv=None):
         "stream-sim": cmd_stream_sim,
         "export": cmd_export,
         "serve-bench": cmd_serve_bench,
+        "extract-features": cmd_extract_features,
         "presets": cmd_presets,
     }[args.cmd](args)
 

@@ -157,3 +157,39 @@ def test_export_roundtrip(tmp_path, capsys):
     assert any(k.startswith("proj") for k in keys)
     # every array loads as plain numpy
     assert all(np.asarray(z[k]).size > 0 for k in keys)
+
+
+def test_extract_features_to_fusion_train(tmp_path):
+    """§3.4 CLI flow: frames → extract-features → prepare-data
+    --features → windows carry 'features' vectors sized for the fusion
+    family."""
+    import numpy as np
+
+    frames_dir = tmp_path / "frames"
+    frames_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for v in ("video0", "video1"):
+        np.save(
+            frames_dir / f"{v}.npy",
+            rng.uniform(0, 255, size=(12, 32, 64, 3)).astype(np.uint8),
+        )
+    feats = tmp_path / "feats.npz"
+    out = tmp_path / "win.npz"
+    cli.main([
+        "extract-features", "--frames-dir", str(frames_dir),
+        "--out", str(feats),
+    ])
+    cli.main([
+        "prepare-data", "--out", str(out), "--h-in", "4", "--h-out", "4",
+        "--n-users", "2", "--n-videos", "2", "--n-frames", "60",
+        "--features", str(feats),
+    ])
+    from longterm360fov_tpu.models.fusion import FEATURE_DIM
+
+    with np.load(feats) as z:
+        assert set(z.files) == {"video0", "video1"}
+        assert z["video0"].shape == (12, FEATURE_DIM)
+    with np.load(out) as z:
+        assert "features" in z.files
+        assert z["features"].shape[1] == FEATURE_DIM
+        assert np.abs(z["features"]).sum() > 0  # actually joined
