@@ -24,37 +24,40 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def variants(base):
+def variants(base, h=30):
     """(name, cfg, with_peers) grid: base first, then knob deviations.
     Peers = cross-viewer context (apples-to-apples with
     stacked-ss-crossuser); 'noise' = annealed noisy teacher forcing
     (models/transformer.py exposure-bias curriculum)."""
     m = base.model
     l2 = dataclasses.replace(m, layers=2)
+    def nm(suffix):
+        return f"transformer-{h}-{suffix}" if suffix else f"transformer-{h}"
+
     out = [
-        ("transformer-30", base, False),
-        ("transformer-30-peers", base, True),
-        ("transformer-30-l2", base.replace(model=l2), False),
-        ("transformer-30-h256", base.replace(
+        (nm(""), base, False),
+        (nm("peers"), base, True),
+        (nm("l2"), base.replace(model=l2), False),
+        (nm("h256"), base.replace(
             model=dataclasses.replace(m, hidden=256)), False),
-        ("transformer-30-lr1e3", base.replace(lr=1e-3, warmup_steps=300),
+        (nm("lr1e3"), base.replace(lr=1e-3, warmup_steps=300),
          False),
-        ("transformer-30-l2-lr1e3", base.replace(
+        (nm("l2-lr1e3"), base.replace(
             model=l2, lr=1e-3, warmup_steps=300), False),
-        ("transformer-30-peers-lr1e3", base.replace(
+        (nm("peers-lr1e3"), base.replace(
             lr=1e-3, warmup_steps=300), True),
-        ("transformer-30-l2-peers-lr1e3", base.replace(
+        (nm("l2-peers-lr1e3"), base.replace(
             model=l2, lr=1e-3, warmup_steps=300), True),
-        ("transformer-30-peers-noise", base.replace(
+        (nm("peers-noise"), base.replace(
             lr=1e-3, warmup_steps=300,
             scheduled_sampling=True, ss_start=1.0, ss_end=0.5), True),
-        ("transformer-30-l2-peers-noise", base.replace(
+        (nm("l2-peers-noise"), base.replace(
             model=l2, lr=1e-3, warmup_steps=300,
             scheduled_sampling=True, ss_start=1.0, ss_end=0.5), True),
-        ("transformer-30-l2-peers-noise3", base.replace(
+        (nm("l2-peers-noise3"), base.replace(
             model=l2, lr=1e-3, warmup_steps=300,
             scheduled_sampling=True, ss_start=1.0, ss_end=0.3), True),
-        ("transformer-30-l2-peers-noise-b256", base.replace(
+        (nm("l2-peers-noise-b256"), base.replace(
             model=l2, lr=1e-3, warmup_steps=300, batch_size=256,
             scheduled_sampling=True, ss_start=1.0, ss_end=0.5), True),
     ]
@@ -64,6 +67,9 @@ def variants(base):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--horizon", type=int, default=30,
+                    help="h_in = h_out frames (30 = matched vs LSTM rows; "
+                    "100 = the stretch preset's native horizon)")
     ap.add_argument("--only", help="comma-separated variant filter")
     ap.add_argument("--log", default="experiments.jsonl")
     args = ap.parse_args()
@@ -81,22 +87,23 @@ def main():
     store = traces.synthetic_store(
         n_users=8, n_videos=2, n_frames=1500, rate_hz=10.0, seed=0
     )
+    H = args.horizon
     base = get_preset(
-        "transformer-10s", model_h_in=30, model_h_out=30,
+        "transformer-10s", model_h_in=H, model_h_out=H,
         steps=args.steps, eval_every=args.steps,
     )
     fam = get_family("transformer")
     only = set(args.only.split(",")) if args.only else None
 
     trd_p, ted_p = D.windows_from_store(
-        store, 30, 30, train_frac=0.8, n_other_users=base.n_other_users
+        store, H, H, train_frac=0.8, n_other_users=base.n_other_users
     )
     trd_np = {k: v for k, v in trd_p.items() if k != "other_future"}
     ted_np = {k: v for k, v in ted_p.items() if k != "other_future"}
 
     log_fh = open(args.log, "a")
     rows = []
-    for name, cfg, with_peers in variants(base):
+    for name, cfg, with_peers in variants(base, h=H):
         if only and name not in only:
             continue
         trd, ted = (trd_p, ted_p) if with_peers else (trd_np, ted_np)
