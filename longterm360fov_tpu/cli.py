@@ -375,16 +375,28 @@ def cmd_serve_bench(args):
     rng = np.random.default_rng(0)
     past = rng.normal(size=(args.batch, cfg.model.h_in, 3)).astype(np.float32)
     past /= np.linalg.norm(past, axis=-1, keepdims=True)
-    past = jnp.asarray(past)
+    batch = {"past": jnp.asarray(past)}
+    with_peers = (
+        cfg.model_family in ("cross_user", "transformer")
+        and cfg.n_other_users > 0
+    )
+    if with_peers:
+        # bench what the config actually serves: peer context included
+        peers = rng.normal(
+            size=(args.batch, cfg.n_other_users, cfg.model.h_out, 3)
+        ).astype(np.float32)
+        peers /= np.linalg.norm(peers, axis=-1, keepdims=True)
+        batch["other_future"] = jnp.asarray(peers)
     serve = infer.make_predict_fn(
-        params, cfg, fam.apply, with_tiles=True, impl=args.impl
+        params, cfg, fam.apply, with_tiles=True, impl=args.impl,
+        extras_fn=getattr(fam, "batch_extras", None),
     )
     t0 = time.time()
-    jax.block_until_ready(serve(past))
+    jax.block_until_ready(serve(batch))
     print(f"compile {time.time()-t0:.1f}s", file=sys.stderr)
     t0 = time.time()
     for _ in range(args.iters):
-        out = serve(past)
+        out = serve(batch)
     jax.block_until_ready(out)
     dt = time.time() - t0
     print(
@@ -393,6 +405,7 @@ def cmd_serve_bench(args):
                 "viewers_per_sec": round(args.batch * args.iters / dt, 1),
                 "batch": args.batch,
                 "horizon": cfg.model.h_out,
+                "peers": cfg.n_other_users if with_peers else 0,
             }
         )
     )
