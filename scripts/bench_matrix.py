@@ -121,13 +121,16 @@ def bench_train(cfg, fam, batch_n, steps):
     host = make_batch(cfg, batch_n, with_future=True)
     batch = {k: jnp.asarray(v) for k, v in host.items()}
     t0 = time.time()
-    state, _ = step(state, batch)
-    jax.block_until_ready(state.params)
+    state, m0 = step(state, batch)
+    _ = float(m0["loss"])
     compile_s = time.time() - t0
     t0 = time.time()
     for _ in range(steps):
         state, metrics = step(state, batch)
-    jax.block_until_ready(state.params)
+    # fetch a scalar: block_until_ready on DONATED buffers is not a
+    # reliable barrier over the axon relay (measured 40x-inflated
+    # throughput without this)
+    _ = float(metrics["loss"])
     dt = time.time() - t0
     sps = steps / dt
     print(
