@@ -115,6 +115,73 @@ def main():
         ref=tref, atol=0.08,
     )
 
+    # encode-only tier (T4)
+    from longterm360fov_tpu.ops.fused_lstm import fused_encode
+
+    enc_params = [init_lstm(jax.random.PRNGKey(7), 3, 128)]
+    seq = jnp.asarray(rng.normal(size=(16, 9, 3)).astype(np.float32))
+    h_scan = lstm_seq(enc_params, seq)[:, -1, :]
+    check(
+        "fused_encode",
+        lambda: fused_encode(enc_params, seq, tile_b=8),
+        ref=h_scan, atol=2e-5,
+    )
+
+    # cross_user fused serve with peers (T4 encode + ctx serve kernel)
+    from longterm360fov_tpu.models import cross_user as CU
+
+    ccfg = S.Seq2SeqConfig(d=3, hidden=128, layers=2, h_in=6, h_out=9,
+                           ctx_dim=128)
+    cparams = CU.init(jax.random.PRNGKey(3), ccfg)
+    others = jnp.asarray(rng.normal(size=(16, 3, 9, 3)).astype(np.float32) * 0.1)
+    cmask = jnp.ones((16, 3))
+    cref = CU.apply(cparams, ccfg, past, other_future_n=others, other_mask=cmask)
+    check(
+        "cross_user serve_fused+peers",
+        lambda: CU.serve_fused(
+            cparams, ccfg, past, other_future_n=others, other_mask=cmask,
+            tile_b=8,
+        ),
+        ref=cref, atol=5e-5,
+    )
+
+    # scheduled-sampling fused decoder (identical coin draws by design;
+    # bit-exact parity is CPU-interpret-tested). On real TPU both paths
+    # run f32 matmuls as bf16 MXU passes whose ROUNDING differs between
+    # Mosaic and XLA; the SS feedback loop (model outputs re-entering
+    # the decoder) amplifies that to ~3e-3 over 9 steps — measured
+    # identical with f32 residual streams, so it is engine rounding, not
+    # the bf16-residual tier (teacher forcing, no feedback: 1e-5 above).
+    key = jax.random.PRNGKey(11)
+    ss_ref = S.apply(params, cfg, past, fut, rng=key, teacher_prob=0.5)
+    check(
+        "apply_fused_ss",
+        lambda: S.apply_fused_ss(
+            params, cfg, past, fut, rng=key, teacher_prob=0.5, tile_b=8
+        ),
+        ref=ss_ref, atol=1e-2,
+    )
+
+    # transformer peer-attention tier (mixed mask incl. a no-peer viewer)
+    pmask = np.ones((16, 3), np.float32)
+    pmask[0] = 0.0
+    pmask = jnp.asarray(pmask)
+    with jax.default_matmul_precision("highest"):
+        pref = jax.block_until_ready(
+            TR.apply(tparams, tcfg, past, other_future_n=others,
+                     other_mask=pmask)
+        )
+        pmem, pvalid = TR._peer_tokens(tparams, tcfg, others, pmask)
+    check(
+        "transformer_decode peer tier",
+        lambda: fused_ar_decode(
+            tparams, tcfg, tenc, past[:, -1, :],
+            peer_mem=pmem.astype(jnp.float32), peer_valid=pvalid,
+            compute_dtype=jnp.float32,
+        ),
+        ref=pref, atol=5e-5,
+    )
+
     # conv+resize
     frames = jnp.asarray(rng.normal(size=(3, 48, 96)).astype(np.float32))
     k = jnp.asarray(rng.normal(size=(4, 3, 3)).astype(np.float32))
