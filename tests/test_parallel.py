@@ -90,3 +90,32 @@ def test_decode_sharding_invariant(batch16):
     np.testing.assert_allclose(
         np.asarray(out_plain), np.asarray(out_sharded), atol=1e-6
     )
+
+
+def test_sharded_accum_matches_full_batch(batch16):
+    """DP shard_map x grad accumulation: per-shard microbatched grads,
+    pmean'd over 'data', must equal the single-device full-batch step
+    (mean-of-means holds per shard AND across shards)."""
+    cfg1 = _cfg()
+    cfg_acc = _cfg(accum=2)
+    mesh = parallel.make_mesh()
+
+    opt = train.make_optimizer(cfg1)
+    state0 = train.init_state(cfg1, init, opt)
+    step1 = train.make_train_step(cfg1, apply, opt)
+    s_ref, m_ref = step1(state0, dict(batch16))
+
+    opt2 = train.make_optimizer(cfg_acc)
+    state2 = parallel.mesh.replicate_state(
+        mesh, train.init_state(cfg_acc, init, opt2)
+    )
+    step2 = parallel.make_sharded_train_step(cfg_acc, apply, opt2, mesh)
+    s_dp, m_dp = step2(state2, parallel.shard_batch(mesh, dict(batch16)))
+
+    assert float(m_ref["loss"]) == pytest.approx(
+        float(m_dp["loss"]), rel=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(s_ref.params), jax.tree.leaves(s_dp.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-6, rtol=3e-5
+        )
