@@ -525,31 +525,49 @@ def cmd_export(args):
 def cmd_extract_features(args):
     """§3.4 driver: per-video frame sources → cached per-frame feature
     tensors for models.fusion (features.equirect.extract_clip_features:
-    decode on host, saliency/motion + Pallas conv+resize on device)."""
+    decode on host, saliency/motion + Pallas conv+resize on device).
+
+    Host video decode is the throughput cliff (SURVEY.md §7 stage 8),
+    so it runs on a prefetch thread: while the device computes video
+    N's features, the host decodes video N+1. Device dispatch is async,
+    so compute also overlaps the np.asarray readback of the previous
+    clip."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import jax
 
     from .features import equirect as FE
 
     params = FE.init_conv_features(jax.random.PRNGKey(args.seed))
-    feats = {}
-    for fname in sorted(os.listdir(args.frames_dir)):
+
+    def decode(fname):
         path = os.path.join(args.frames_dir, fname)
-        if not os.path.isfile(path):
-            continue
         video = os.path.splitext(fname)[0]
         try:
             frames = FE.decode_frames(
                 path, max_frames=args.max_frames, stride=args.stride
             )
         except (RuntimeError, ValueError) as e:
-            print(f"skipping {fname}: {e}")
-            continue
+            return video, None, f"skipping {fname}: {e}"
         if frames.size == 0:
-            print(f"skipping {fname}: no frames")
-            continue
-        f = FE.extract_clip_features(params, frames)
-        feats[video] = np.asarray(f, np.float32)
-        print(f"{video}: {frames.shape[0]} frames -> {feats[video].shape}")
+            return video, None, f"skipping {fname}: no frames"
+        return video, frames, None
+
+    files = [
+        f for f in sorted(os.listdir(args.frames_dir))
+        if os.path.isfile(os.path.join(args.frames_dir, f))
+    ]
+    feats = {}
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        futures = [pool.submit(decode, f) for f in files]  # serial queue
+        for fut in futures:
+            video, frames, err = fut.result()
+            if err:
+                print(err)
+                continue
+            f = FE.extract_clip_features(params, frames)
+            feats[video] = np.asarray(f, np.float32)
+            print(f"{video}: {frames.shape[0]} frames -> {feats[video].shape}")
     if not feats:
         raise SystemExit(f"no decodable frame sources in {args.frames_dir}")
     np.savez_compressed(args.out, **feats)
