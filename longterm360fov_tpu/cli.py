@@ -167,7 +167,7 @@ def _load_or_synth_data(args, cfg):
         # prepare-data writes a time-split held-out file next to the train
         # file; use it so eval windows never share frames with training
         # windows (sliding windows straddling an index cut would leak).
-        test_path = args.data.replace(".npz", "") + "_test.npz"
+        test_path = os.path.splitext(args.data)[0] + "_test.npz"
         if os.path.exists(test_path):
             return packed, D.load_packed(test_path)
         print(
@@ -223,7 +223,7 @@ def cmd_prepare_data(args):
         video_features=video_features,
     )
     D.save_packed(args.out, train_d)
-    test_path = args.out.replace(".npz", "") + "_test.npz"
+    test_path = os.path.splitext(args.out)[0] + "_test.npz"
     D.save_packed(test_path, test_d)
     print(
         f"wrote {len(train_d['past'])} train / {len(test_d['past'])} test "
@@ -559,8 +559,16 @@ def cmd_extract_features(args):
     ]
     feats = {}
     with ThreadPoolExecutor(max_workers=1) as pool:
-        futures = [pool.submit(decode, f) for f in files]  # serial queue
-        for fut in futures:
+        # bounded one-ahead prefetch: submitting every decode upfront
+        # would pin all decoded (T,H,W,3) arrays in memory at once
+        pending = pool.submit(decode, files[0]) if files else None
+        for i in range(len(files)):
+            fut = pending
+            pending = (
+                pool.submit(decode, files[i + 1])
+                if i + 1 < len(files)
+                else None
+            )
             video, frames, err = fut.result()
             if err:
                 print(err)

@@ -96,7 +96,8 @@ def make_predict_fn(
             raise ValueError(
                 f"impl='fused' is not available for model family "
                 f"{cfg.model_family!r} (preset {cfg.name!r}); fused serving "
-                f"supports the LSTM families (seq2seq/cross_user/fusion). "
+                f"needs the family to export serve_fused (all built-in "
+                f"families do: seq2seq/cross_user/fusion/transformer). "
                 f"Use impl='xla'."
             )
 

@@ -40,6 +40,10 @@ HAVE_NATIVE = _fastio is not None
 def parse_trace_bytes(data: bytes, n_cols: int = 0) -> np.ndarray:
     """Numeric log text → (rows, cols) float32. Native single-pass parser
     when built; numpy fallback otherwise. Skips comment/header rows."""
+    if not 0 <= n_cols <= 64:
+        # validated here so both impls agree; the C parser checks too (a
+        # negative count reaching its memcpy would be a huge size_t)
+        raise ValueError("n_cols must be in [0, 64] (0 = infer)")
     if _fastio is not None:
         return _fastio.parse_trace(data, n_cols)
     return _parse_trace_fallback(data, n_cols)

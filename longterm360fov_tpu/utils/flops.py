@@ -84,19 +84,20 @@ def transformer_decode_flops(cfg: ExperimentConfig) -> float:
     enc = L * (block_dense(t_in) + attn_scores(t_in, t_in))
     # embedding/input + output projections
     io = 2.0 * t_in * m.d * h + t_out * (2.0 * h * m.d + 2.0 * m.d * h)
-    # decoder per emitted token: self over mean cache t_out/2, cross
-    # over t_in; plus cross/peer K,V projections computed once
+    # decoder per emitted token: self over mean cache t_out/2 (qkv+out
+    # and MLP are in block_dense), cross attention adds its own q and
+    # OUT projections per token plus K,V projections computed once
     dec = L * (
         block_dense(t_out)
         + attn_scores(t_out, t_out / 2.0)
-        + t_out * 2.0 * h * h  # cross q proj per token (in block_dense? no: extra attn)
+        + t_out * 4.0 * h * h  # cross q + out projections per token
         + attn_scores(t_out, t_in)
         + t_in * 4.0 * h * h  # cross K,V projections (once)
     )
     if k_peers:
         peer_tokens = k_peers * t_out
         dec += L * (
-            t_out * 2.0 * h * h  # peer q proj
+            t_out * 4.0 * h * h  # peer q + out projections per token
             + attn_scores(t_out, peer_tokens)
             + peer_tokens * 4.0 * h * h  # peer K,V projections (once)
         )

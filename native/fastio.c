@@ -36,9 +36,10 @@ static PyObject *parse_trace(PyObject *self, PyObject *args) {
   Py_ssize_t want_cols = 0; /* 0 = infer from first numeric row */
   if (!PyArg_ParseTuple(args, "y*|n", &buf, &want_cols)) return NULL;
 
-  if (want_cols > 64) {
+  if (want_cols > 64 || want_cols < 0) {
     PyBuffer_Release(&buf);
-    PyErr_SetString(PyExc_ValueError, "n_cols > 64 unsupported");
+    PyErr_SetString(PyExc_ValueError,
+                    "n_cols must be in [0, 64] (0 = infer)");
     return NULL;
   }
 

@@ -86,3 +86,11 @@ def test_native_extension_loaded():
     arr = N.parse_trace_bytes(rows)
     assert arr.shape == (100000, 5)
     assert time.time() - t0 < 1.0
+
+
+def test_parse_trace_rejects_bad_n_cols():
+    """n_cols outside [0, 64] must raise cleanly in BOTH impls (a
+    negative count reaching the C memcpy would be a huge size_t)."""
+    for bad in (-1, 65):
+        with pytest.raises(ValueError):
+            N.parse_trace_bytes(b"1 2 3\n", n_cols=bad)
