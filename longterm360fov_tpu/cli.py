@@ -125,6 +125,15 @@ def _build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--out", required=True)
     ex.add_argument("--step", type=int, help="default: latest")
 
+    it = sub.add_parser(
+        "inspect-traces",
+        help="sniff a trace directory: per-file layout guess, rate, "
+        "ranges, quaternion-norm sanity (de-risks the unverified "
+        "public-dataset adapters before prepare-data)",
+    )
+    it.add_argument("--traces", required=True)
+    it.add_argument("--limit", type=int, default=20, help="max files shown")
+
     sub.add_parser("presets", help="list experiment presets")
     return p
 
@@ -582,6 +591,96 @@ def cmd_extract_features(args):
     print(f"wrote {len(feats)} videos -> {args.out}")
 
 
+def cmd_inspect_traces(args):
+    """Report what the dataset adapters WOULD do with each file: parsed
+    shape, sniffed layout, sampling-rate estimate, column ranges, and
+    quaternion-norm / angle-unit sanity checks. The adapters' column
+    layouts are fixture-verified only (no public dataset is reachable
+    in the build environment), so users should eyeball this against
+    their data before trusting prepare-data (RESULTS.md caveat)."""
+    import glob as _glob
+
+    from . import datasets as DS
+    from .native import parse_trace_bytes
+
+    files = [
+        p
+        for p in sorted(
+            _glob.glob(os.path.join(args.traces, "**/*.*"), recursive=True)
+        )
+        if os.path.isfile(p)
+    ]
+    if not files:
+        raise SystemExit(f"no files under {args.traces}")
+    shown = parsed = 0
+    for path in files:
+        if shown >= args.limit:
+            print(f"... ({len(files) - shown} more files)")
+            break
+        rel = os.path.relpath(path, args.traces)
+        if path.endswith(".json"):
+            arr = DS._load_json_trace(path)
+            if arr is None:
+                print(f"{rel}: unparseable JSON trace")
+                shown += 1
+                continue
+        else:
+            try:
+                with open(path, "rb") as f:
+                    arr = parse_trace_bytes(f.read())
+            except (OSError, ValueError) as e:
+                print(f"{rel}: unparseable ({e})")
+                shown += 1
+                continue
+        shown += 1
+        if arr.shape[0] < 2:
+            print(f"{rel}: {arr.shape} — too short to analyze")
+            continue
+        parsed += 1
+        try:
+            fmt = DS.sniff_format(arr)
+        except ValueError as e:
+            print(f"{rel}: {arr.shape} — {e}")
+            continue
+        spec = DS.FORMATS[fmt]
+        ts = arr[:, spec.t_col]
+        dt = np.diff(ts)
+        dt = dt[dt > 0]
+        rate = f"{1.0 / np.median(dt):.1f} Hz" if dt.size else "n/a"
+        notes = []
+        if spec.kind == "quat":
+            qn = np.linalg.norm(arr[:, list(spec.cols)], axis=1)
+            notes.append(
+                f"quat |q| in [{qn.min():.3f}, {qn.max():.3f}]"
+            )
+            if not np.allclose(qn, 1.0, atol=0.05):
+                notes.append("WARNING: non-unit quaternions")
+        else:
+            yaw = arr[:, spec.cols[0]]
+            lim = 180.0 if spec.degrees else np.pi
+            notes.append(
+                f"yaw range [{yaw.min():.2f}, {yaw.max():.2f}]"
+                f" ({'deg' if spec.degrees else 'rad'})"
+            )
+            if np.abs(yaw).max() > 2.1 * lim:
+                notes.append("WARNING: yaw exceeds expected unit range")
+        if arr.shape[1] >= 5 and spec.kind == "euler":
+            notes.append(
+                "CAUTION: >=5 columns but no unit-quaternion block found; "
+                "the euler guess may be wrong — check --dataset-format"
+            )
+        if not np.all(np.diff(ts) >= 0):
+            notes.append("WARNING: non-monotonic timestamps")
+        print(
+            f"{rel}: {arr.shape[0]} rows x {arr.shape[1]} cols -> "
+            f"format={fmt}, rate~{rate}; " + "; ".join(notes)
+        )
+    print(
+        f"\n{parsed}/{shown} shown files parse cleanly. If a layout guess "
+        f"is wrong, pass prepare-data --dataset-format explicitly."
+    )
+
+
 def cmd_presets(_args):
     from .config import PRESETS
 
@@ -604,6 +703,7 @@ def main(argv=None):
         "export": cmd_export,
         "serve-bench": cmd_serve_bench,
         "extract-features": cmd_extract_features,
+        "inspect-traces": cmd_inspect_traces,
         "presets": cmd_presets,
     }[args.cmd](args)
 

@@ -193,3 +193,23 @@ def test_extract_features_to_fusion_train(tmp_path):
         assert "features" in z.files
         assert z["features"].shape[1] == FEATURE_DIM
         assert np.abs(z["features"]).sum() > 0  # actually joined
+
+
+def test_inspect_traces(tmp_path, capsys):
+    """inspect-traces reports layout guesses, rates, and sanity warnings."""
+    d = tmp_path / "tr" / "video1"
+    d.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    t = np.arange(100) / 30.0
+    q = rng.normal(size=(100, 4))
+    q[:, 0] += 5
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    np.savetxt(d / "userA.csv", np.column_stack([t, q]), delimiter=",")
+    qb = np.column_stack([t, rng.normal(size=(100, 4)) * 3])
+    np.savetxt(d / "userC.csv", qb, delimiter=",")
+    cli.main(["inspect-traces", "--traces", str(tmp_path / "tr")])
+    out = capsys.readouterr().out
+    assert "format=quat_wxyz" in out
+    assert "rate~30.0 Hz" in out
+    assert "CAUTION" in out  # the non-quat 5-col file gets flagged
+    assert "2/2 shown files parse cleanly" in out
