@@ -23,6 +23,7 @@ def main():
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--out", default="RESULTS.md")
     ap.add_argument("--log", default="experiments.jsonl")
+    ap.add_argument("--only", help="comma-separated preset filter (skips baselines)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -38,9 +39,10 @@ def main():
 
     results = {}
     log_fh = open(args.log, "a")
+    only = set(args.only.split(",")) if args.only else None
 
     # non-learned baselines at the 30- and 100-frame horizons
-    for horizon in (30, 100):
+    for horizon in () if only else (30, 100):
         _, teh = D.windows_from_store(store, horizon, horizon, train_frac=0.8)
         for name, fn in (
             (f"persistence@{horizon}",
@@ -60,6 +62,8 @@ def main():
             log_fh.flush()
 
     for preset_name, cfg in PRESETS.items():
+        if only and preset_name not in only:
+            continue
         t0 = time.time()
         steps = args.steps
         cfg = cfg.replace(steps=steps, eval_every=steps)
@@ -102,6 +106,9 @@ def main():
         log_fh.write(json.dumps({"name": preset_name, **res}) + "\n")
         log_fh.flush()
 
+    if only:
+        print("(--only: skipping RESULTS.md rewrite)", flush=True)
+        return
     # ---- RESULTS.md ------------------------------------------------------
     lines = [
         "# RESULTS — round-1 experiment matrix (synthetic traces)",
