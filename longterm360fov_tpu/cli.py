@@ -72,6 +72,11 @@ def _build_parser() -> argparse.ArgumentParser:
         help="gradient-accumulation microbatches per optimizer step "
         "(logical batch > HBM activation budget)",
     )
+    tr.add_argument(
+        "--gc-weight", type=float, dest="gc_weight",
+        help="blend weight of the spherical great-circle loss "
+        "(0 = reference's pure MSE; ~0.2-0.5 measured best, RESULTS.md)",
+    )
     tr.add_argument("--ckpt-dir")
     tr.add_argument("--log-file")
     tr.add_argument("--tb-dir", help="TensorBoard scalar log dir (optional)")
@@ -246,7 +251,7 @@ def cmd_train(args):
     from .models import get_family
 
     over = {}
-    for k in ("steps", "batch_size", "lr", "accum"):
+    for k in ("steps", "batch_size", "lr", "accum", "gc_weight"):
         v = getattr(args, k)
         if v is not None:
             over[k] = v
