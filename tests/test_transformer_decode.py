@@ -108,13 +108,16 @@ def test_fused_peer_attention_parity_masked():
 
 
 def test_peer_vmem_routing():
-    """30-frame/K=4 fits the resident budget; the 100-frame preset's
-    K*T=400 peer tokens must NOT (serve_fused falls back to XLA)."""
+    """30-frame/K=4 fits at any depth; the 100-frame K*T=400 config fits
+    bf16 at 2 layers (TPU-validated, 19.6K traj/s) but must reject at
+    4 layers and in f32 (both ~164 MB resident > the 120 MB cap)."""
     from longterm360fov_tpu.ops.transformer_decode import peer_vmem_fits
 
     cfg30 = Seq2SeqConfig(d=3, hidden=128, layers=4, h_in=30, h_out=30)
-    cfg100 = Seq2SeqConfig(d=3, hidden=128, layers=4, h_in=100, h_out=100)
+    cfg100 = Seq2SeqConfig(d=3, hidden=128, layers=2, h_in=100, h_out=100)
     assert peer_vmem_fits(cfg30, 4, 4 * 30, compute_dtype=jnp.bfloat16)
+    assert peer_vmem_fits(cfg100, 2, 4 * 100, compute_dtype=jnp.bfloat16)
+    assert not peer_vmem_fits(cfg100, 2, 4 * 100, compute_dtype=jnp.float32)
     assert not peer_vmem_fits(cfg100, 4, 4 * 100, compute_dtype=jnp.bfloat16)
 
 
