@@ -184,11 +184,18 @@ def main():
         fam = get_family(cfg.model_family)
         print(f"[{preset}] serve_b={sb} train_b={tb}", flush=True)
         params = fam.init(jax.random.PRNGKey(0), cfg.model)
+        # transformer-10s serves its fused row peerless (make_batch):
+        # count serving FLOPs for the workload actually measured
+        serve_cfg = (
+            cfg.replace(n_other_users=0)
+            if cfg.name == "transformer-10s"
+            else cfg
+        )
         row = {
             "preset": preset,
             "serve_batch": sb,
             "train_batch": tb,
-            "decode_flops": round(F.decode_flops(cfg)),
+            "decode_flops": round(F.decode_flops(serve_cfg)),
             "train_flops": round(F.train_flops(cfg)),
             "serve": bench_serve(cfg, fam, params, sb, si),
             "train": try_train(cfg, fam, tb, ts),
