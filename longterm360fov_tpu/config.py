@@ -87,7 +87,8 @@ class ExperimentConfig:
 
 
 def _presets() -> Dict[str, ExperimentConfig]:
-    """One preset per BASELINE.json config row (lines 7-11)."""
+    """One preset per BASELINE.json config row (lines 7-11), plus the
+    transformer-30 extension (the matched-horizon quality recipe)."""
     return {
         # BASELINE.json:7 — 1-layer LSTM, xyz, 10-in/10-out, single viewer
         "lstm-xyz-10": ExperimentConfig(
