@@ -603,15 +603,13 @@ def cmd_inspect_traces(args):
     layouts are fixture-verified only (no public dataset is reachable
     in the build environment), so users should eyeball this against
     their data before trusting prepare-data (RESULTS.md caveat)."""
-    import glob as _glob
-
     from . import datasets as DS
     from .native import parse_trace_bytes
 
     files = [
         p
         for p in sorted(
-            _glob.glob(os.path.join(args.traces, "**/*.*"), recursive=True)
+            glob.glob(os.path.join(args.traces, "**/*.*"), recursive=True)
         )
         if os.path.isfile(p)
     ]
@@ -641,12 +639,12 @@ def cmd_inspect_traces(args):
         if arr.shape[0] < 2:
             print(f"{rel}: {arr.shape} — too short to analyze")
             continue
-        parsed += 1
         try:
             fmt = DS.sniff_format(arr)
         except ValueError as e:
             print(f"{rel}: {arr.shape} — {e}")
             continue
+        parsed += 1
         spec = DS.FORMATS[fmt]
         ts = arr[:, spec.t_col]
         dt = np.diff(ts)
@@ -658,21 +656,32 @@ def cmd_inspect_traces(args):
             notes.append(
                 f"quat |q| in [{qn.min():.3f}, {qn.max():.3f}]"
             )
-            if not np.allclose(qn, 1.0, atol=0.05):
-                notes.append("WARNING: non-unit quaternions")
         else:
             yaw = arr[:, spec.cols[0]]
-            lim = 180.0 if spec.degrees else np.pi
             notes.append(
                 f"yaw range [{yaw.min():.2f}, {yaw.max():.2f}]"
                 f" ({'deg' if spec.degrees else 'rad'})"
             )
-            if np.abs(yaw).max() > 2.1 * lim:
-                notes.append("WARNING: yaw exceeds expected unit range")
+            if not spec.degrees and np.abs(yaw).max() > 1.05 * np.pi:
+                notes.append(
+                    "CAUTION: |yaw| > pi — data may use a [0, 2pi) "
+                    "convention the adapters do not expect"
+                )
         if arr.shape[1] >= 5 and spec.kind == "euler":
+            # sniffing only accepts quat layouts with |q| within 0.05 of
+            # unit, so files that fell through here may be CORRUPTED or
+            # unnormalized quaternion logs — surface how close they came
+            qn5 = np.linalg.norm(arr[:, 1:5], axis=1)
+            extra = ""
+            if 0.3 < float(np.median(qn5)) < 3.0:
+                extra = (
+                    f" (cols 1-4 have |q| median {np.median(qn5):.2f} — "
+                    f"possibly non-unit quaternions; renormalize upstream)"
+                )
             notes.append(
                 "CAUTION: >=5 columns but no unit-quaternion block found; "
                 "the euler guess may be wrong — check --dataset-format"
+                + extra
             )
         if not np.all(np.diff(ts) >= 0):
             notes.append("WARNING: non-monotonic timestamps")

@@ -412,10 +412,11 @@ def serve_fused(
     with VMEM-resident KV caches, MLPs, feedback — is ONE kernel.
 
     Peer (cross-viewer) attention multiplies the resident-cache
-    footprint by K peers: when the whole resident set fits VMEM
-    (peer_vmem_fits — true for the 30-frame matched-horizon configs,
-    K·T ≈ 120 tokens) peers ride the fused kernel; otherwise (e.g. the
-    100-frame preset's K·T = 400) the exact XLA scan path serves them.
+    footprint by K peers: when the whole resident set fits the kernel's
+    120 MB VMEM cap (peer_vmem_fits — true for the 30-frame configs at
+    any depth AND for the 100-frame 2-layer preset in bf16, ~82 MB)
+    peers ride the fused kernel; larger sets (4-layer/100-frame, or f32
+    at 100 frames) fall back to the exact XLA scan path.
     """
     del context
     from ..ops.transformer_decode import fused_ar_decode, peer_vmem_fits

@@ -31,11 +31,12 @@ decode to something strictly better:
   TPU by default; f32 for the parity tests, which run in interpret
   mode where VMEM limits don't apply).
 
-Peers: cross-viewer (peer) attention multiplies the resident-memory
-footprint by K and is served by the XLA scan path instead
-(models.transformer.serve_fused falls back); streaming peer blocks
-through this kernel is the documented escalation if peer-serving ever
-becomes hot.
+Peers: cross-viewer (peer) attention rides the same
+project-outside/DMA-per-tile pattern when the whole resident set fits
+the kernel's 120 MB VMEM cap (peer_vmem_fits) — which covers the
+30-frame configs and the 100-frame 2-layer preset in bf16 (~82 MB);
+bigger sets fall back to the exact XLA scan
+(models.transformer.serve_fused routing).
 
 Semantics match models.transformer._ar_decode exactly (parity test in
 tests/test_transformer_decode.py).

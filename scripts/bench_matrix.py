@@ -21,16 +21,21 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# (preset, serve_batch, serve_iters, train_batch, train_steps)
+# (preset, serve_batch, serve_iters, train_batch, train_steps,
+#  serve_with_peers) — serve_with_peers controls whether the serving
+# batch carries the K=4 peer context (the training batch always does
+# for peer-consuming families)
 MATRIX = [
-    ("lstm-xyz-10", 262144, 10, 4096, 60),
-    ("seq2seq-tf-30", 262144, 10, 4096, 60),
-    ("stacked-ss-crossuser", 65536, 10, 4096, 40),
-    ("video-fusion", 65536, 10, 4096, 40),
-    ("transformer-10s", 4096, 5, 1024, 20),
-    # extension row: the matched-horizon quality recipe (RESULTS.md);
-    # serves WITH K=4 peers through the fused peer-attention tier
-    ("transformer-30", 16384, 5, 1024, 20),
+    ("lstm-xyz-10", 262144, 10, 4096, 60, True),
+    ("seq2seq-tf-30", 262144, 10, 4096, 60, True),
+    ("stacked-ss-crossuser", 65536, 10, 4096, 40, True),
+    ("video-fusion", 65536, 10, 4096, 40, True),
+    # full preset workload: peers ride the fused kernel VMEM-resident
+    # since the 2-layer recipe (peer_vmem_fits) — no-peer reference
+    # numbers (47.4K) live in BASELINE.md prose
+    ("transformer-10s", 4096, 5, 1024, 20, True),
+    # extension row: the matched-horizon quality recipe (RESULTS.md)
+    ("transformer-30", 16384, 5, 1024, 20, True),
 ]
 
 
@@ -58,7 +63,7 @@ def make_batch(cfg, n, *, with_future=False, with_peers=True, seed=0):
     return batch
 
 
-def bench_serve(cfg, fam, params, batch_n, iters):
+def bench_serve(cfg, fam, params, batch_n, iters, with_peers=True):
     import jax
     import jax.numpy as jnp
 
@@ -66,13 +71,7 @@ def bench_serve(cfg, fam, params, batch_n, iters):
     from longterm360fov_tpu import train as TR
 
     extras = getattr(fam, "batch_extras", None)
-    # the 100-frame preset's peer tokens exceed resident VMEM, so its
-    # fused row is the no-peer tier (serve_fused would route peers to
-    # XLA); the 30-frame row serves peers through the fused peer tier
-    host = make_batch(
-        cfg, batch_n, with_future=True,
-        with_peers=cfg.name != "transformer-10s",
-    )
+    host = make_batch(cfg, batch_n, with_future=True, with_peers=with_peers)
     batch = {k: jnp.asarray(v) for k, v in host.items() if k != "future"}
 
     results = {}
@@ -173,9 +172,17 @@ def main():
     print(f"backend: {jax.default_backend()}, devices: {jax.devices()}",
           flush=True)
 
-    only = set(args.only.split(",")) if args.only else None
+    only = None
+    if args.only:
+        only = {s.strip() for s in args.only.split(",") if s.strip()}
+        known = {m[0] for m in MATRIX}
+        unknown = only - known
+        if unknown:
+            raise SystemExit(
+                f"--only: unknown presets {sorted(unknown)}; have {sorted(known)}"
+            )
     rows = []
-    for preset, sb, si, tb, ts in MATRIX:
+    for preset, sb, si, tb, ts, swp in MATRIX:
         if only and preset not in only:
             continue
         if args.quick:
@@ -184,20 +191,15 @@ def main():
         fam = get_family(cfg.model_family)
         print(f"[{preset}] serve_b={sb} train_b={tb}", flush=True)
         params = fam.init(jax.random.PRNGKey(0), cfg.model)
-        # transformer-10s serves its fused row peerless (make_batch):
         # count serving FLOPs for the workload actually measured
-        serve_cfg = (
-            cfg.replace(n_other_users=0)
-            if cfg.name == "transformer-10s"
-            else cfg
-        )
+        serve_cfg = cfg if swp else cfg.replace(n_other_users=0)
         row = {
             "preset": preset,
             "serve_batch": sb,
             "train_batch": tb,
             "decode_flops": round(F.decode_flops(serve_cfg)),
             "train_flops": round(F.train_flops(cfg)),
-            "serve": bench_serve(cfg, fam, params, sb, si),
+            "serve": bench_serve(cfg, fam, params, sb, si, with_peers=swp),
             "train": try_train(cfg, fam, tb, ts),
             "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
         }

@@ -20,7 +20,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument(
+        "--steps", type=int, default=None,
+        help="override every preset's step count (default: each preset "
+        "trains its own steps — the transformer recipes need their "
+        "4000)",
+    )
     ap.add_argument("--out", default="RESULTS.md")
     ap.add_argument("--log", default="experiments.jsonl")
     ap.add_argument("--only", help="comma-separated preset filter (skips baselines)")
@@ -39,7 +44,13 @@ def main():
 
     results = {}
     log_fh = open(args.log, "a")
-    only = set(args.only.split(",")) if args.only else None
+    only = None
+    if args.only:
+        only = {s.strip() for s in args.only.split(",") if s.strip()}
+        unknown = only - set(PRESETS)
+        if unknown:
+            raise SystemExit(f"--only: unknown presets {sorted(unknown)}; "
+                             f"have {sorted(PRESETS)}")
 
     # non-learned baselines at the 30- and 100-frame horizons
     for horizon in () if only else (30, 100):
@@ -65,7 +76,7 @@ def main():
         if only and preset_name not in only:
             continue
         t0 = time.time()
-        steps = args.steps
+        steps = args.steps if args.steps is not None else cfg.steps
         cfg = cfg.replace(steps=steps, eval_every=steps)
         fam = get_family(cfg.model_family)
         n_peers = (

@@ -88,8 +88,14 @@ def main():
         n_users=8, n_videos=2, n_frames=1500, rate_hz=10.0, seed=0
     )
     H = args.horizon
+    # the ablation BASE is pinned to the round-1 recipe (L4, lr 3e-4,
+    # no noise) regardless of what the shipping preset evolves into —
+    # the preset now carries the round-2 recipe, which would otherwise
+    # silently turn every "control" row into the treated condition
     base = get_preset(
-        "transformer-10s", model_h_in=H, model_h_out=H,
+        "transformer-10s", model_h_in=H, model_h_out=H, model_layers=4,
+        lr=3e-4, warmup_steps=200, scheduled_sampling=False,
+        ss_start=1.0, ss_end=0.0,
         steps=args.steps, eval_every=args.steps,
     )
     fam = get_family("transformer")

@@ -9,11 +9,14 @@ from longterm360fov_tpu.config import PRESETS, get_preset
 from longterm360fov_tpu.utils import flops as F
 
 
-def test_all_presets_positive_and_train_exceeds_decode():
+def test_all_presets_positive_and_3x_convention_pinned():
+    """Pins the documented fwd+bwd = 3x forward CONVENTION (so a silent
+    change to it shows up here); the actual arithmetic is constrained by
+    the independent pinned value below and the monotonicity tests."""
     for name, cfg in PRESETS.items():
         d, t = F.decode_flops(cfg), F.train_flops(cfg)
-        assert d > 0 and t > 0, name
-        assert t == pytest.approx(3.0 * d), name  # fwd+bwd convention
+        assert d > 0, name
+        assert t == pytest.approx(3.0 * d), name
 
 
 def test_monotonic_in_architecture():
