@@ -55,6 +55,7 @@ def encode_peers(
     other_mask: Optional[jax.Array],  # (B, K) 1.0 = peer present
     *,
     use_fused_seq: bool = False,
+    compute_dtype=jnp.float32,
 ) -> jax.Array:
     """→ (B, ctx_dim) masked-mean peer embedding.
 
@@ -71,7 +72,11 @@ def encode_peers(
     if use_fused_seq == "serve":
         from ..ops.fused_lstm import fused_encode
 
-        h = fused_encode([params["peer_encoder"]], flat.astype(jnp.float32))
+        h = fused_encode(
+            [params["peer_encoder"]],
+            flat.astype(jnp.float32),
+            compute_dtype=compute_dtype,
+        )
     elif use_fused_seq:
         from ..ops.lstm_train import lstm_seq
 
@@ -187,24 +192,30 @@ def serve_fused(
     other_future_n: Optional[jax.Array] = None,
     other_mask: Optional[jax.Array] = None,
     tile_b: int = 2048,
+    compute_dtype=jnp.float32,
 ) -> jax.Array:
     """Whole-request fused serve with peer conditioning: peers encode
     through the inference-only fused encode kernel (the XLA scan here
     cost 37% of the preset's serve FLOPs as ~30 HBM-bound steps;
     the fused TRAINING primitive OOMs HBM at B·K ≥ 256K rows because it
     materializes every step's residuals — bench_matrix r2), then the
-    fused serve kernel runs with the resulting context."""
+    fused serve kernel runs with the resulting context.
+
+    ``compute_dtype`` threads through BOTH the peer-encode and the serve
+    kernel, matching seq2seq.serve_fused's bf16 serving tier (ADVICE r2:
+    the cross_user family previously always upcast peers to f32)."""
     if context is None:
         if other_future_n is not None:
             context = encode_peers(
                 params, cfg, other_future_n, other_mask,
-                use_fused_seq="serve",
+                use_fused_seq="serve", compute_dtype=compute_dtype,
             )
         else:
             # decoder weights always carry ctx rows when ctx_dim > 0
             context = jnp.zeros((past_n.shape[0], cfg.ctx_dim), cfg.dtype)
     return seq2seq.serve_fused(
-        params, cfg, past_n, context=context, tile_b=tile_b
+        params, cfg, past_n, context=context, tile_b=tile_b,
+        compute_dtype=compute_dtype,
     )
 
 

@@ -107,3 +107,28 @@ def test_serve_fused_encodes_peers():
     # and it must differ from the no-peer rollout (context actually used)
     out_nopeer = CU.serve_fused(params, cfg, past, tile_b=8)
     assert not np.allclose(np.asarray(out), np.asarray(out_nopeer))
+
+
+def test_serve_fused_bf16_tier():
+    """compute_dtype=bfloat16 threads through BOTH the peer encode and
+    the serve kernel (ADVICE r2: cross_user previously always upcast
+    peers to f32) and stays close to the exact f32 path."""
+    import jax.numpy as jnp
+
+    cfg = _cfg(hidden=128, ctx_dim=8)
+    params = CU.init(jax.random.PRNGKey(8), cfg)
+    rng = np.random.default_rng(8)
+    past = jnp.asarray(rng.normal(size=(8, 5, 3)).astype(np.float32) * 0.1)
+    others = jnp.asarray(
+        rng.normal(size=(8, 3, 4, 3)).astype(np.float32) * 0.1
+    )
+    mask = jnp.ones((8, 3))
+    ref = CU.serve_fused(
+        params, cfg, past, other_future_n=others, other_mask=mask, tile_b=8
+    )
+    out = CU.serve_fused(
+        params, cfg, past, other_future_n=others, other_mask=mask,
+        tile_b=8, compute_dtype=jnp.bfloat16,
+    )
+    assert float(jnp.abs(out - ref).max()) < 0.08  # bf16-tier contract
+    assert not np.allclose(np.asarray(out), np.asarray(ref))  # really bf16

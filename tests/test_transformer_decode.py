@@ -20,15 +20,17 @@ def _setup(layers=2, h_in=6, h_out=7, b=8, seed=0):
     return cfg, params, past
 
 
+@pytest.mark.parametrize("batched_heads", [False, True])
 @pytest.mark.parametrize(
     "layers,h_in,h_out,b", [(1, 4, 3, 8), (2, 6, 7, 8), (2, 5, 9, 16)]
 )
-def test_fused_ar_decode_parity(layers, h_in, h_out, b):
+def test_fused_ar_decode_parity(layers, h_in, h_out, b, batched_heads):
     cfg, params, past = _setup(layers, h_in, h_out, b, seed=layers)
     ref = TR.apply(params, cfg, past)  # XLA KV-cached scan decode
     enc = TR._encode(params, cfg, past)
     out = fused_ar_decode(
-        params, cfg, enc, past[:, -1, :], compute_dtype=jnp.float32
+        params, cfg, enc, past[:, -1, :], compute_dtype=jnp.float32,
+        batched_heads=batched_heads,
     )
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=3e-5,
@@ -77,7 +79,8 @@ def test_transformer_serve_fused_family_entry():
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(ref_p), atol=3e-5)
 
 
-def test_fused_peer_attention_parity_masked():
+@pytest.mark.parametrize("batched_heads", [False, True])
+def test_fused_peer_attention_parity_masked(batched_heads):
     """Fused peer tier vs XLA with a MIXED mask: one viewer fully
     masked (must gate peer attention to exactly the no-peer output),
     one partially masked, rest fully valid."""
@@ -97,7 +100,7 @@ def test_fused_peer_attention_parity_masked():
     out = fused_ar_decode(
         params, cfg, enc, past[:, -1, :],
         peer_mem=peer_mem.astype(jnp.float32), peer_valid=peer_valid,
-        compute_dtype=jnp.float32,
+        compute_dtype=jnp.float32, batched_heads=batched_heads,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
     # the all-masked viewer must equal the entirely-peerless rollout
