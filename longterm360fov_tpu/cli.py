@@ -77,6 +77,12 @@ def _build_parser() -> argparse.ArgumentParser:
         help="blend weight of the spherical great-circle loss "
         "(0 = reference's pure MSE; ~0.2-0.5 measured best, RESULTS.md)",
     )
+    tr.add_argument(
+        "--train-compute", dest="train_compute",
+        choices=["float32", "bfloat16"],
+        help="matmul dtype inside the fused training kernels (bfloat16 "
+        "= single-pass MXU with f32 accumulation)",
+    )
     tr.add_argument("--ckpt-dir")
     tr.add_argument("--log-file")
     tr.add_argument("--tb-dir", help="TensorBoard scalar log dir (optional)")
@@ -138,6 +144,25 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     it.add_argument("--traces", required=True)
     it.add_argument("--limit", type=int, default=20, help="max files shown")
+    it.add_argument(
+        "--validate",
+        action="store_true",
+        help="strict mode: every file must parse unambiguously and pass "
+        "all sanity checks; exit code 2 on any failure (run this before "
+        "trusting prepare-data on a new dataset)",
+    )
+    it.add_argument(
+        "--dataset-format",
+        default="auto",
+        # kept in sync with datasets.FORMATS by tests/test_datasets.py
+        choices=[
+            "auto", "euler_deg", "euler_rad", "quat_wxyz", "quat_xyzw",
+            "tsinghua",
+        ],
+        help="pin the layout instead of sniffing (validate mode reports "
+        "ambiguity errors that this resolves)",
+    )
+    it.add_argument("--rate", type=float, default=10.0, help="resample Hz")
 
     sub.add_parser("presets", help="list experiment presets")
     return p
@@ -251,7 +276,8 @@ def cmd_train(args):
     from .models import get_family
 
     over = {}
-    for k in ("steps", "batch_size", "lr", "accum", "gc_weight"):
+    for k in ("steps", "batch_size", "lr", "accum", "gc_weight",
+              "train_compute"):
         v = getattr(args, k)
         if v is not None:
             over[k] = v
@@ -605,6 +631,33 @@ def cmd_inspect_traces(args):
     their data before trusting prepare-data (RESULTS.md caveat)."""
     from . import datasets as DS
     from .native import parse_trace_bytes
+
+    if getattr(args, "validate", False):
+        fmt = args.dataset_format
+        res = DS.validate_dataset(args.traces, fmt, rate_hz=args.rate)
+        n_fail = 0
+        for rep in res["files"]:
+            rel = os.path.relpath(rep["path"], args.traces)
+            if rep["errors"]:
+                n_fail += 1
+                print(f"FAIL {rel} [{rep['fmt'] or '?'}]")
+                for e in rep["errors"]:
+                    print(f"     error: {e}")
+            else:
+                extra = f" {rep.get('rate_hz')} Hz" if rep.get("rate_hz") else ""
+                print(f"ok   {rel} [{rep['fmt']}] {rep['rows']} rows{extra}")
+            for w in rep["warnings"]:
+                print(f"     warn: {w}")
+        for w in res["dir_warnings"]:
+            print(f"warn: {w}")
+        total = len(res["files"])
+        print(
+            f"{total - n_fail}/{total} files valid"
+            + ("" if res["ok"] else " — VALIDATION FAILED")
+        )
+        if not res["ok"]:
+            raise SystemExit(2)
+        return
 
     files = [
         p

@@ -39,6 +39,10 @@ class ExperimentConfig:
     # TPU when the family provides one and ss is off; "xla" forces the
     # scan path; "fused" forces the kernel (interpret mode off-TPU)
     train_impl: str = "auto"
+    # matmul compute dtype inside the fused training kernels: "bfloat16"
+    # runs fwd+bwd gate matmuls as single MXU passes (f32 accumulation,
+    # f32 carries); "float32" (default) is the exact 3-pass mode
+    train_compute: str = "float32"
     # gradient accumulation: split each batch into `accum` microbatches,
     # sum grads over a lax.scan, apply ONE optimizer update. Lets a
     # logical batch exceed what activations fit in HBM. batch_size must

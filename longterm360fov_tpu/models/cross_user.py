@@ -140,9 +140,11 @@ def apply_fused_tf(
     other_mask: Optional[jax.Array] = None,
     context: Optional[jax.Array] = None,
     tile_b: int = 1024,
+    compute_dtype=None,
 ) -> jax.Array:
     """Teacher-forced forward entirely on the fused Pallas primitives
     (peer encoder included)."""
+    kw = {} if compute_dtype is None else {"compute_dtype": compute_dtype}
     if context is None:
         if other_future_n is not None:
             context = encode_peers(
@@ -151,7 +153,7 @@ def apply_fused_tf(
         else:
             context = jnp.zeros((past_n.shape[0], cfg.ctx_dim), cfg.dtype)
     return seq2seq.apply_fused_tf(
-        params, cfg, past_n, future_n, context=context, tile_b=tile_b
+        params, cfg, past_n, future_n, context=context, tile_b=tile_b, **kw
     )
 
 
@@ -167,9 +169,11 @@ def apply_fused_ss(
     other_mask: Optional[jax.Array] = None,
     context: Optional[jax.Array] = None,
     tile_b: int = 1024,
+    compute_dtype=None,
 ) -> jax.Array:
     """Scheduled-sampling training forward on the fused Pallas decoder
     (peer encoder included)."""
+    kw = {} if compute_dtype is None else {"compute_dtype": compute_dtype}
     if context is None:
         if other_future_n is not None:
             context = encode_peers(
@@ -179,7 +183,7 @@ def apply_fused_ss(
             context = jnp.zeros((past_n.shape[0], cfg.ctx_dim), cfg.dtype)
     return seq2seq.apply_fused_ss(
         params, cfg, past_n, future_n, rng=rng, teacher_prob=teacher_prob,
-        context=context, tile_b=tile_b,
+        context=context, tile_b=tile_b, **kw,
     )
 
 

@@ -130,6 +130,7 @@ def apply_fused_tf(
     maps: Optional[jax.Array] = None,
     context: Optional[jax.Array] = None,
     tile_b: int = 1024,
+    compute_dtype=None,
 ) -> jax.Array:
     """Teacher-forced forward on the fused Pallas primitives."""
     if context is None:
@@ -139,8 +140,9 @@ def apply_fused_tf(
             context = project_features(params, features).astype(cfg.dtype)
         else:
             context = jnp.zeros((past_n.shape[0], cfg.ctx_dim), cfg.dtype)
+    kw = {} if compute_dtype is None else {"compute_dtype": compute_dtype}
     return seq2seq.apply_fused_tf(
-        params, cfg, past_n, future_n, context=context, tile_b=tile_b
+        params, cfg, past_n, future_n, context=context, tile_b=tile_b, **kw
     )
 
 
@@ -156,6 +158,7 @@ def apply_fused_ss(
     maps: Optional[jax.Array] = None,
     context: Optional[jax.Array] = None,
     tile_b: int = 1024,
+    compute_dtype=None,
 ) -> jax.Array:
     """Scheduled-sampling training forward on the fused Pallas decoder."""
     if context is None:
@@ -165,9 +168,10 @@ def apply_fused_ss(
             context = project_features(params, features).astype(cfg.dtype)
         else:
             context = jnp.zeros((past_n.shape[0], cfg.ctx_dim), cfg.dtype)
+    kw = {} if compute_dtype is None else {"compute_dtype": compute_dtype}
     return seq2seq.apply_fused_ss(
         params, cfg, past_n, future_n, rng=rng, teacher_prob=teacher_prob,
-        context=context, tile_b=tile_b,
+        context=context, tile_b=tile_b, **kw,
     )
 
 

@@ -249,6 +249,7 @@ def apply_fused_tf(
     context: Optional[jax.Array] = None,
     tile_b: int = 1024,
     residual_dtype=jnp.bfloat16,
+    compute_dtype=jnp.float32,
 ) -> jax.Array:
     """Teacher-forced training forward on the fused Pallas primitives
     (ops.lstm_train.lstm_seq_states): encoder scan and decoder scan each
@@ -257,14 +258,17 @@ def apply_fused_tf(
     residual rounding: the saved activation streams default to bf16
     (HBM-bandwidth-bound; +48% step rate on v5e at b4096 with a
     training-trajectory difference of ~1e-6 in loss after 100 steps) —
-    pass residual_dtype=jnp.float32 for exact grad parity."""
+    pass residual_dtype=jnp.float32 for exact grad parity.
+    ``compute_dtype=jnp.bfloat16`` additionally runs the gate matmuls
+    (fwd AND bwd) as single MXU passes with f32 accumulation — the
+    training twin of serve_fused's bf16 tier."""
     from ..ops.lstm_train import lstm_seq_states
 
     batch = past_n.shape[0]
     z = jnp.zeros((cfg.layers, batch, cfg.hidden), jnp.float32)
     _, hT, cT = lstm_seq_states(
         params["encoder"], past_n.astype(jnp.float32), z, z, tile_b,
-        residual_dtype,
+        residual_dtype, compute_dtype,
     )
     y0 = past_n[:, -1:, :].astype(jnp.float32)
     teacher_in = jnp.concatenate(
@@ -277,7 +281,8 @@ def apply_fused_tf(
         )
         teacher_in = jnp.concatenate([teacher_in, ctx], axis=-1)
     hs_dec, _, _ = lstm_seq_states(
-        params["decoder"], teacher_in, hT, cT, tile_b, residual_dtype
+        params["decoder"], teacher_in, hT, cT, tile_b, residual_dtype,
+        compute_dtype,
     )
     return _project(params, hs_dec).astype(jnp.float32)
 
@@ -294,6 +299,7 @@ def apply_fused_ss(
     coins: Optional[jax.Array] = None,
     tile_b: int = 1024,
     residual_dtype=jnp.bfloat16,
+    compute_dtype=jnp.float32,
 ) -> jax.Array:
     """Scheduled-sampling training forward on fused Pallas primitives
     (encoder: ops.lstm_train; decoder with per-step teacher/model mixing
@@ -306,7 +312,7 @@ def apply_fused_ss(
     z = jnp.zeros((cfg.layers, batch, cfg.hidden), jnp.float32)
     _, hT, cT = lstm_seq_states(
         params["encoder"], past_n.astype(jnp.float32), z, z, tile_b,
-        residual_dtype,
+        residual_dtype, compute_dtype,
     )
     y0 = past_n[:, -1, :].astype(jnp.float32)
     fut_tm = jnp.swapaxes(future_n.astype(jnp.float32), 0, 1)
@@ -324,6 +330,7 @@ def apply_fused_ss(
         params["decoder"], params["proj"]["w"].astype(jnp.float32),
         params["proj"]["b"].astype(jnp.float32),
         hT, cT, y0, teacher_tm, (coins, ctx), tile_b, residual_dtype,
+        compute_dtype,
     )
 
 

@@ -50,7 +50,7 @@ from ._tiling import interpret as _interpret
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(*refs, n_layers, hidden, d, ctx_dim, tile_b):
+def _fwd_kernel(*refs, n_layers, hidden, d, ctx_dim, tile_b, compute_dtype):
     it = iter(refs)
     h0_ref = next(it)
     c0_ref = next(it)
@@ -78,6 +78,15 @@ def _fwd_kernel(*refs, n_layers, hidden, d, ctx_dim, tile_b):
         c_s[:] = c0_ref[:]
         y_s[:] = y0_ref[:]
 
+    # compute_dtype=bf16: single-pass MXU matmuls, f32 accumulation/
+    # carries (same contract as ops.lstm_train)
+    cd = compute_dtype
+
+    def dot(a, bb):
+        return jnp.dot(
+            a.astype(cd), bb.astype(cd), preferred_element_type=jnp.float32
+        )
+
     coin = coin_ref[0]  # (tile_b, 1)
     x = jnp.where(coin > 0, teach_ref[0], y_s[:])
     if ctx_dim:
@@ -87,8 +96,8 @@ def _fwd_kernel(*refs, n_layers, hidden, d, ctx_dim, tile_b):
     for l in range(n_layers):
         d_in = (d + ctx_dim) if l == 0 else hidden
         gates = (
-            jnp.dot(inp, w[l][:d_in, :], preferred_element_type=jnp.float32)
-            + jnp.dot(h_s[l], w[l][d_in:, :], preferred_element_type=jnp.float32)
+            dot(inp, w[l][:d_in, :])
+            + dot(h_s[l], w[l][d_in:, :])
             + b[l][:]
         )
         i = jax.nn.sigmoid(gates[:, :hidden])
@@ -105,16 +114,14 @@ def _fwd_kernel(*refs, n_layers, hidden, d, ctx_dim, tile_b):
         h_s[l] = h_new
         c_s[l] = c_new
         inp = h_new
-    y = (
-        jnp.dot(inp, pw_ref[:], preferred_element_type=jnp.float32)
-        + pb_ref[:]
-    )
+    y = dot(inp, pw_ref[:]) + pb_ref[:]
     ys_ref[0] = y
     y_s[:] = y
 
 
 def _forward(params, proj_w, proj_b, h0, c0, y0, teacher_tm, coins_tm,
-             context, tile_b, residual_dtype=jnp.float32):
+             context, tile_b, residual_dtype=jnp.float32,
+             compute_dtype=jnp.float32):
     n_layers = len(params)
     t_len, batch, d = teacher_tm.shape
     hidden = proj_w.shape[0]
@@ -125,7 +132,7 @@ def _forward(params, proj_w, proj_b, h0, c0, y0, teacher_tm, coins_tm,
 
     kernel = functools.partial(
         _fwd_kernel, n_layers=n_layers, hidden=hidden, d=d,
-        ctx_dim=ctx_dim, tile_b=tile_b,
+        ctx_dim=ctx_dim, tile_b=tile_b, compute_dtype=compute_dtype,
     )
     state_spec = pl.BlockSpec(
         (n_layers, tile_b, hidden), lambda i, t: (0, i, 0),
@@ -190,7 +197,7 @@ def _forward(params, proj_w, proj_b, h0, c0, y0, teacher_tm, coins_tm,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(*refs, n_layers, hidden, d, ctx_dim, tile_b, t_len):
+def _bwd_kernel(*refs, n_layers, hidden, d, ctx_dim, tile_b, t_len, compute_dtype):
     it = iter(refs)
     dys_ref = next(it)  # upstream dL/dys at t (1, tile_b, d)
     h0_ref = next(it)
@@ -242,14 +249,19 @@ def _bwd_kernel(*refs, n_layers, hidden, d, ctx_dim, tile_b, t_len):
         dpw_ref[:] = jnp.zeros_like(dpw_ref)
         dpb_ref[:] = jnp.zeros_like(dpb_ref)
 
+    cd = compute_dtype
+
+    def dot(a, bb):
+        return jnp.dot(
+            a.astype(cd), bb.astype(cd), preferred_element_type=jnp.float32
+        )
+
     # total grad of y_t: upstream + feedback from step t+1
     dy_t = dys_ref[0] + dy_s[:]
     h_top = hs[n_layers - 1][0].astype(jnp.float32)
-    dpw_ref[:] += jnp.dot(h_top.T, dy_t, preferred_element_type=jnp.float32)
+    dpw_ref[:] += dot(h_top.T, dy_t)
     dpb_ref[0, :] += jnp.sum(dy_t, axis=0)
-    d_from_above = jnp.dot(
-        dy_t, pw_ref[:].T, preferred_element_type=jnp.float32
-    )
+    d_from_above = dot(dy_t, pw_ref[:].T)
 
     coin = coin_ref[0]
     x_t = jnp.where(coin > 0, teach_ref[0],
@@ -291,15 +303,11 @@ def _bwd_kernel(*refs, n_layers, hidden, d, ctx_dim, tile_b, t_len):
                 cs[l - 1][0].astype(jnp.float32)
             )
 
-        dw_out[l][:d_in, :] += jnp.dot(
-            inp_t.T, dgates, preferred_element_type=jnp.float32
-        )
-        dw_out[l][d_in:, :] += jnp.dot(
-            h_prev.T, dgates, preferred_element_type=jnp.float32
-        )
+        dw_out[l][:d_in, :] += dot(inp_t.T, dgates)
+        dw_out[l][d_in:, :] += dot(h_prev.T, dgates)
         db_out[l][0, :] += jnp.sum(dgates, axis=0)
 
-        dz = jnp.dot(dgates, w[l][:].T, preferred_element_type=jnp.float32)
+        dz = dot(dgates, w[l][:].T)
         dh_s[l] = dz[:, d_in:]
         dc_s[l] = dc_total * f
         d_from_above = dz[:, :d_in]
@@ -320,7 +328,8 @@ def _bwd_kernel(*refs, n_layers, hidden, d, ctx_dim, tile_b, t_len):
 
 
 def _backward(params, proj_w, proj_b, h0, c0, y0, teacher_tm, coins_tm,
-              context, ys, hs, cs, gs, dys_tm, tile_b):
+              context, ys, hs, cs, gs, dys_tm, tile_b,
+              compute_dtype=jnp.float32):
     n_layers = len(params)
     t_len, batch, d = teacher_tm.shape
     hidden = proj_w.shape[0]
@@ -332,6 +341,7 @@ def _backward(params, proj_w, proj_b, h0, c0, y0, teacher_tm, coins_tm,
     kernel = functools.partial(
         _bwd_kernel, n_layers=n_layers, hidden=hidden, d=d,
         ctx_dim=ctx_dim, tile_b=tile_b, t_len=t_len,
+        compute_dtype=compute_dtype,
     )
     rev = lambda i, t: (t_len - 1 - t, i, 0)  # noqa: E731
     rev_shift = lambda i, t: (jnp.maximum(t_len - 2 - t, 0), i, 0)  # noqa: E731
@@ -425,7 +435,7 @@ def _backward(params, proj_w, proj_b, h0, c0, y0, teacher_tm, coins_tm,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
 def ss_decode(
     dec_params: Sequence[LSTMParams],
     proj_w: jax.Array,
@@ -437,35 +447,36 @@ def ss_decode(
     coins_ctx: tuple,  # (coins (T, B, 1), context (B, C) or None)
     tile_b: int = 1024,
     residual_dtype=jnp.float32,
+    compute_dtype=jnp.float32,
 ):
     """Scheduled-sampling decoder → (B, T, D) predictions."""
     coins_tm, context = coins_ctx
     ys, _, _, _ = _forward(
         list(dec_params), proj_w, proj_b, h0, c0, y0, teacher_tm,
-        coins_tm, context, tile_b, residual_dtype,
+        coins_tm, context, tile_b, residual_dtype, compute_dtype,
     )
     return jnp.swapaxes(ys, 0, 1)
 
 
 def _vjp_fwd(dec_params, proj_w, proj_b, h0, c0, y0, teacher_tm,
-             coins_ctx, tile_b, residual_dtype):
+             coins_ctx, tile_b, residual_dtype, compute_dtype):
     coins_tm, context = coins_ctx
     ys, hs, cs, gs = _forward(
         list(dec_params), proj_w, proj_b, h0, c0, y0, teacher_tm,
-        coins_tm, context, tile_b, residual_dtype,
+        coins_tm, context, tile_b, residual_dtype, compute_dtype,
     )
     res = (tuple(dec_params), proj_w, proj_b, h0, c0, y0, teacher_tm,
            coins_tm, context, ys, tuple(hs), tuple(cs), tuple(gs))
     return jnp.swapaxes(ys, 0, 1), res
 
 
-def _vjp_bwd(tile_b, residual_dtype, res, dys):
+def _vjp_bwd(tile_b, residual_dtype, compute_dtype, res, dys):
     (params, proj_w, proj_b, h0, c0, y0, teacher_tm, coins_tm, context,
      ys, hs, cs, gs) = res
     dys_tm = jnp.swapaxes(dys, 0, 1)
     dparams, dpw, dpb, dh0, dc0, dy0, dteach, dctx = _backward(
         list(params), proj_w, proj_b, h0, c0, y0, teacher_tm, coins_tm,
-        context, ys, hs, cs, gs, dys_tm, tile_b,
+        context, ys, hs, cs, gs, dys_tm, tile_b, compute_dtype,
     )
     dcoins = jnp.zeros_like(coins_tm)
     dctx_out = None if context is None else dctx

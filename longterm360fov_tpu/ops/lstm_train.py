@@ -48,7 +48,7 @@ from ._tiling import auto_tile as _auto_tile, interpret as _interpret
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(*refs, n_layers, hidden, d, tile_b):
+def _fwd_kernel(*refs, n_layers, hidden, d, tile_b, compute_dtype):
     """grid = (batch_tiles, T); refs:
     in:  xs (B, T, D) block (tile_b, 1, D),
          h0, c0 (L, B, H) blocks (initial states),
@@ -77,12 +77,23 @@ def _fwd_kernel(*refs, n_layers, hidden, d, tile_b):
         h_s[:] = h0_ref[:]
         c_s[:] = c0_ref[:]
 
+    # compute_dtype=bf16 runs the gate matmuls as SINGLE MXU passes
+    # (f32 inputs cost 3 bf16 passes each); gate math, carries and
+    # accumulation stay f32 (preferred_element_type) — the bf16 training
+    # tier measured in BASELINE.md. f32 (default) is bit-exact.
+    cd = compute_dtype
+
+    def dot(a, bb):
+        return jnp.dot(
+            a.astype(cd), bb.astype(cd), preferred_element_type=jnp.float32
+        )
+
     inp = xs_ref[0]  # (tile_b, D)
     for l in range(n_layers):
         d_in = d if l == 0 else hidden
         gates = (
-            jnp.dot(inp, w[l][:d_in, :], preferred_element_type=jnp.float32)
-            + jnp.dot(h_s[l], w[l][d_in:, :], preferred_element_type=jnp.float32)
+            dot(inp, w[l][:d_in, :])
+            + dot(h_s[l], w[l][d_in:, :])
             + b[l][:]
         )
         i = jax.nn.sigmoid(gates[:, :hidden])
@@ -103,7 +114,7 @@ def _fwd_kernel(*refs, n_layers, hidden, d, tile_b):
 
 def _forward(params: Sequence[LSTMParams], xs: jax.Array,
              h0: jax.Array, c0: jax.Array, tile_b: int,
-             residual_dtype=jnp.float32):
+             residual_dtype=jnp.float32, compute_dtype=jnp.float32):
     n_layers = len(params)
     batch, t_len, d = xs.shape
     hidden = params[0].w.shape[1] // 4
@@ -111,7 +122,8 @@ def _forward(params: Sequence[LSTMParams], xs: jax.Array,
     grid = (batch // tile_b, t_len)
 
     kernel = functools.partial(
-        _fwd_kernel, n_layers=n_layers, hidden=hidden, d=d, tile_b=tile_b
+        _fwd_kernel, n_layers=n_layers, hidden=hidden, d=d, tile_b=tile_b,
+        compute_dtype=compute_dtype,
     )
     state_spec = pl.BlockSpec(
         (n_layers, tile_b, hidden), lambda i, t: (0, i, 0),
@@ -180,7 +192,7 @@ def _forward(params: Sequence[LSTMParams], xs: jax.Array,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(*refs, n_layers, hidden, d, tile_b, t_len):
+def _bwd_kernel(*refs, n_layers, hidden, d, tile_b, t_len, compute_dtype):
     """grid = (batch_tiles, T) with time reversed in index maps; refs:
     in:  dhs_top (tile_b, 1, H) — upstream grad of top-layer outputs,
          xs (tile_b, 1, D),
@@ -231,6 +243,13 @@ def _bwd_kernel(*refs, n_layers, hidden, d, tile_b, t_len):
 
     is_first_step = t_rev == t_len - 1  # actual t == 0
 
+    cd = compute_dtype
+
+    def dot(a, bb):
+        return jnp.dot(
+            a.astype(cd), bb.astype(cd), preferred_element_type=jnp.float32
+        )
+
     # top-down through layers: dh for layer L-1 gets the upstream grad
     d_from_above = dhs_ref[0]
     for l in range(n_layers - 1, -1, -1):
@@ -269,17 +288,11 @@ def _bwd_kernel(*refs, n_layers, hidden, d, tile_b, t_len):
             o_lm1 = g_lm1[:, 3 * hidden :]
             inp_t = o_lm1 * jnp.tanh(cs[l - 1][0].astype(jnp.float32))
 
-        dw_out[l][:d_in, :] += jnp.dot(
-            inp_t.T, dgates, preferred_element_type=jnp.float32
-        )
-        dw_out[l][d_in:, :] += jnp.dot(
-            h_prev.T, dgates, preferred_element_type=jnp.float32
-        )
+        dw_out[l][:d_in, :] += dot(inp_t.T, dgates)
+        dw_out[l][d_in:, :] += dot(h_prev.T, dgates)
         db_out[l][0, :] += jnp.sum(dgates, axis=0)
 
-        dz = jnp.dot(
-            dgates, w[l][:].T, preferred_element_type=jnp.float32
-        )  # (B, d_in + H)
+        dz = dot(dgates, w[l][:].T)  # (B, d_in + H)
         dh_s[l] = dz[:, d_in:]
         dc_s[l] = dc_total * f
         d_from_above = dz[:, :d_in]  # grad w.r.t. this layer's input
@@ -306,6 +319,7 @@ def _backward(
     dhT: jax.Array,
     dcT: jax.Array,
     tile_b: int,
+    compute_dtype=jnp.float32,
 ):
     n_layers = len(params)
     batch, t_len, d = xs.shape
@@ -315,7 +329,7 @@ def _backward(
 
     kernel = functools.partial(
         _bwd_kernel, n_layers=n_layers, hidden=hidden, d=d,
-        tile_b=tile_b, t_len=t_len,
+        tile_b=tile_b, t_len=t_len, compute_dtype=compute_dtype,
     )
 
     rev = lambda i, t: (t_len - 1 - t, i, 0)  # noqa: E731
@@ -400,7 +414,7 @@ def _backward(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def lstm_seq_states(
     params: Sequence[LSTMParams],
     xs: jax.Array,
@@ -408,20 +422,25 @@ def lstm_seq_states(
     c0: jax.Array,
     tile_b: int = 1024,
     residual_dtype=jnp.float32,
+    compute_dtype=jnp.float32,
 ):
     """Stacked LSTM over a known sequence from initial states (L, B, H).
 
     → (hs_top (B, T, H), hT (L, B, H), cT (L, B, H)). Differentiable
     w.r.t. params, xs, h0, c0 via fused Pallas forward/backward kernels.
     """
-    hs, cs, _ = _forward(params, xs, h0, c0, tile_b, residual_dtype)
+    hs, cs, _ = _forward(
+        params, xs, h0, c0, tile_b, residual_dtype, compute_dtype
+    )
     hT = jnp.stack([h[-1] for h in hs]).astype(jnp.float32)
     cT = jnp.stack([c[-1] for c in cs]).astype(jnp.float32)
     return jnp.swapaxes(hs[-1], 0, 1).astype(jnp.float32), hT, cT
 
 
-def _vjp_fwd(params, xs, h0, c0, tile_b, residual_dtype):
-    hs, cs, gs = _forward(params, xs, h0, c0, tile_b, residual_dtype)
+def _vjp_fwd(params, xs, h0, c0, tile_b, residual_dtype, compute_dtype):
+    hs, cs, gs = _forward(
+        params, xs, h0, c0, tile_b, residual_dtype, compute_dtype
+    )
     hT = jnp.stack([h[-1] for h in hs]).astype(jnp.float32)
     cT = jnp.stack([c[-1] for c in cs]).astype(jnp.float32)
     return (jnp.swapaxes(hs[-1], 0, 1).astype(jnp.float32), hT, cT), (
@@ -429,14 +448,15 @@ def _vjp_fwd(params, xs, h0, c0, tile_b, residual_dtype):
     )
 
 
-def _vjp_bwd(tile_b, residual_dtype, residuals, cts):
+def _vjp_bwd(tile_b, residual_dtype, compute_dtype, residuals, cts):
     dhs_top, dhT, dcT = cts
     params, xs, h0, c0, hs, cs, gs = residuals
     n_layers = len(params)
     # the final-state cotangents of the TOP layer also arrive through
     # dhs_top's last step; dhT/dcT are extra paths (e.g. decoder init).
     dxs, dparams, dh0, dc0 = _backward(
-        list(params), xs, h0, c0, hs, cs, gs, dhs_top, dhT, dcT, tile_b
+        list(params), xs, h0, c0, hs, cs, gs, dhs_top, dhT, dcT, tile_b,
+        compute_dtype,
     )
     return (dparams, dxs, dh0, dc0)
 
@@ -444,11 +464,14 @@ def _vjp_bwd(tile_b, residual_dtype, residuals, cts):
 lstm_seq_states.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-def lstm_seq(params: Sequence[LSTMParams], xs: jax.Array, tile_b: int = 1024):
+def lstm_seq(params: Sequence[LSTMParams], xs: jax.Array, tile_b: int = 1024,
+             compute_dtype=jnp.float32):
     """Zero-initial-state convenience wrapper → top-layer outputs."""
     n_layers = len(params)
     batch = xs.shape[0]
     hidden = params[0].w.shape[1] // 4
     z = jnp.zeros((n_layers, batch, hidden), jnp.float32)
-    hs_top, _, _ = lstm_seq_states(params, xs, z, z, tile_b)
+    hs_top, _, _ = lstm_seq_states(
+        params, xs, z, z, tile_b, jnp.float32, compute_dtype
+    )
     return hs_top

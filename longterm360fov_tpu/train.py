@@ -106,6 +106,14 @@ def make_train_step(
     use_fused_ss = (
         fused_ss_fn is not None and cfg.scheduled_sampling and impl_on
     )
+    # bf16 single-pass MXU tier for the fused kernels (train_compute
+    # knob; default f32 keeps exact grads). Passed only when non-default
+    # so families without the kwarg stay compatible.
+    fused_kw = (
+        {}
+        if cfg.train_compute == "float32"
+        else {"compute_dtype": jnp.dtype(cfg.train_compute)}
+    )
 
     def loss_fn(params, batch, rng, teacher_prob):
         past_n, future_n, anchor = windows.normalize_window(
@@ -115,12 +123,14 @@ def make_train_step(
         if use_fused:
             # fused Pallas teacher-forcing forward+backward (custom VJP);
             # 2.65x the XLA scan step on v5e at b4096 (BASELINE.md)
-            pred_n = fused_tf_fn(params, cfg.model, past_n, future_n, **kwargs)
+            pred_n = fused_tf_fn(
+                params, cfg.model, past_n, future_n, **fused_kw, **kwargs
+            )
         elif use_fused_ss:
             # fused scheduled-sampling decoder (ops.lstm_ss)
             pred_n = fused_ss_fn(
                 params, cfg.model, past_n, future_n,
-                rng=rng, teacher_prob=teacher_prob, **kwargs,
+                rng=rng, teacher_prob=teacher_prob, **fused_kw, **kwargs,
             )
         else:
             pred_n = apply_fn(

@@ -1,0 +1,129 @@
+"""Micro-benchmark for the fused transformer AR-decode kernel variants.
+
+Times ops.transformer_decode.fused_ar_decode at the transformer-10s /
+transformer-30 preset shapes on the real TPU with HONEST barriers
+(data-dependent scalar fetch + difference method — block_until_ready
+lies over the axon relay, measured 1000x inflation r3). Appends JSONL
+rows to bench_tr.jsonl.
+
+Usage: python scripts/bench_tr.py [--variants v0,v1] [--batch 4096]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def timed(fn, n):
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    out = None
+    for _ in range(n):
+        out = fn()
+    float(jnp.sum(out))
+    return time.time() - t0
+
+
+def bench(fn, iters=8):
+    t_compile = timed(fn, 1)
+    t1 = timed(fn, 1)
+    t2 = timed(fn, 1 + iters)
+    return t_compile, (t2 - t1) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--frames", type=int, default=100)
+    ap.add_argument("--layers", type=int, default=2)
+    ap.add_argument("--peers", type=int, default=4)
+    ap.add_argument("--variants", default="v0")
+    ap.add_argument("--out", default="bench_tr.jsonl")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from longterm360fov_tpu.models import transformer as TR
+    from longterm360fov_tpu.models.seq2seq import Seq2SeqConfig
+    from longterm360fov_tpu.ops.transformer_decode import fused_ar_decode
+
+    t = args.frames
+    cfg = Seq2SeqConfig(
+        d=3, hidden=128, layers=args.layers, h_in=t, h_out=t
+    )
+    params = TR.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    b = args.batch
+    past = jnp.asarray(rng.normal(size=(b, t, 3)).astype(np.float32) * 0.1)
+    others_h = rng.normal(size=(b, args.peers, t, 3)).astype(np.float32) * 0.1
+    others = jnp.asarray(others_h)
+    mask = jnp.ones((b, args.peers))
+
+    # encoder memory + peer tokens are computed ONCE outside the kernel
+    # (the serving path re-does this per batch; here we isolate decode)
+    enc = jax.jit(lambda p, x: TR._encode(p, cfg, x))(params, past)
+    peer_mem, peer_valid = jax.jit(
+        lambda p, o, m: TR._peer_tokens(p, cfg, o, m)
+    )(params, others, mask)
+    float(jnp.sum(enc))
+    y0 = past[:, -1, :]
+
+    variants = {}
+    for name in args.variants.split(","):
+        kw = {}
+        peers = True
+        if name == "v0":
+            pass
+        elif name == "v0np":
+            peers = False
+        elif name == "v1":
+            kw["batched_heads"] = True
+        elif name == "v1np":
+            kw["batched_heads"] = True
+            peers = False
+        else:
+            # forward unknown names as boolean kwargs, with optional
+            # 'np' suffix for the peerless twin: e.g. chunked, chunkednp
+            base = name[:-2] if name.endswith("np") else name
+            peers = not name.endswith("np")
+            kw[base] = True
+        variants[name] = (kw, peers)
+
+    for name, (kw, peers) in variants.items():
+        pm = peer_mem if peers else None
+        pv = peer_valid if peers else None
+
+        @jax.jit
+        def run(params=params, pm=pm, pv=pv, kw=kw):
+            return fused_ar_decode(
+                params, cfg, enc, y0, peer_mem=pm, peer_valid=pv,
+                compute_dtype=jnp.bfloat16, **kw,
+            )
+
+        try:
+            t_c, t_i = bench(run, args.iters)
+            row = {
+                "variant": name, "batch": b, "frames": t,
+                "layers": args.layers, "peers": args.peers if peers else 0,
+                "compile_s": round(t_c, 1), "ms": round(t_i * 1e3, 1),
+                "traj_per_s": round(b / t_i, 1),
+                "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            }
+        except Exception as e:  # noqa: BLE001
+            row = {"variant": name, "batch": b, "frames": t,
+                   "error": f"{type(e).__name__}: {e}"[:200]}
+        print(json.dumps(row), flush=True)
+        with open(args.out, "a") as f:
+            f.write(json.dumps(row) + "\n")
+
+
+if __name__ == "__main__":
+    main()

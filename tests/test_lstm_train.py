@@ -195,3 +195,63 @@ def test_apply_fused_tf_bf16_residuals_close():
         np.testing.assert_allclose(
             np.asarray(b_), np.asarray(a), atol=2e-2 * scale
         )
+
+
+def test_bf16_compute_tier_close():
+    """compute_dtype=bfloat16 (single-pass MXU matmuls, f32 accumulation)
+    must stay close to the exact f32 kernels in BOTH the forward values
+    and the parameter gradients — the r3 training-throughput tier."""
+    rng = np.random.default_rng(5)
+    b, t, d, h, layers = 8, 7, 3, 128, 2
+    keys = jax.random.split(jax.random.PRNGKey(5), layers)
+    params = [
+        init_lstm(keys[l], d if l == 0 else h, h) for l in range(layers)
+    ]
+    xs = jnp.asarray(rng.normal(size=(b, t, d)).astype(np.float32) * 0.3)
+
+    out32 = lstm_seq(params, xs, 8)
+    out16 = lstm_seq(params, xs, 8, compute_dtype=jnp.bfloat16)
+    assert float(jnp.abs(out16 - out32).max()) < 0.05
+    assert not np.allclose(np.asarray(out16), np.asarray(out32))  # really bf16
+
+    def loss(ps, cd):
+        return jnp.sum(lstm_seq(ps, xs, 8, compute_dtype=cd) ** 2)
+
+    g32 = jax.grad(lambda ps: loss(ps, jnp.float32))(params)
+    g16 = jax.grad(lambda ps: loss(ps, jnp.bfloat16))(params)
+    for a, b_ in zip(jax.tree.leaves(g32), jax.tree.leaves(g16)):
+        denom = float(jnp.abs(a).max()) + 1e-6
+        assert float(jnp.abs(a - b_).max()) / denom < 0.06
+
+
+def test_apply_fused_tf_bf16_compute_train_step():
+    """End-to-end: a train step with train_compute=bfloat16 produces a
+    finite loss near the f32 step's."""
+    import dataclasses
+
+    from longterm360fov_tpu import train as T
+    from longterm360fov_tpu.config import ExperimentConfig
+    from longterm360fov_tpu.models import seq2seq as S
+
+    cfg = ExperimentConfig(
+        name="bf16c",
+        model=S.Seq2SeqConfig(d=3, hidden=128, layers=1, h_in=6, h_out=6),
+        batch_size=16, train_impl="fused",
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        "past": jnp.asarray(rng.normal(size=(16, 6, 3)).astype(np.float32)),
+        "future": jnp.asarray(rng.normal(size=(16, 6, 3)).astype(np.float32)),
+    }
+    losses = {}
+    for tc in ("float32", "bfloat16"):
+        c = dataclasses.replace(cfg, train_compute=tc)
+        opt = T.make_optimizer(c)
+        state = T.init_state(c, S.init, opt)
+        step = jax.jit(
+            T.make_train_step(c, S.apply, opt, fused_tf_fn=S.apply_fused_tf)
+        )
+        _, m = step(state, batch)
+        losses[tc] = float(m["loss"])
+        assert np.isfinite(losses[tc])
+    assert abs(losses["bfloat16"] - losses["float32"]) < 1e-2, losses
