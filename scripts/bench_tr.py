@@ -89,6 +89,14 @@ def main():
         elif name == "v1np":
             kw["batched_heads"] = True
             peers = False
+        elif name.startswith("pc"):
+            # pc<chunk>: chunked peer attend, e.g. pc112
+            kw["peer_chunk"] = int(name[2:])
+        elif name.startswith("tb"):
+            # tb<tile>: batch tile override, e.g. tb64
+            kw["tile_b"] = int(name[2:])
+        elif name == "stream":
+            kw["peer_stream"] = True
         else:
             # forward unknown names as boolean kwargs, with optional
             # 'np' suffix for the peerless twin: e.g. chunked, chunkednp
@@ -101,12 +109,20 @@ def main():
         pm = peer_mem if peers else None
         pv = peer_valid if peers else None
 
-        @jax.jit
-        def run(params=params, pm=pm, pv=pv, kw=kw):
+        # everything big rides as a jit ARGUMENT: closed-over device
+        # arrays bake into the HLO as literals and the relay's
+        # remote_compile rejects the payload with HTTP 413 (~100s of MB
+        # — enc is 210 MB, peer_mem 839 MB at b4096/100f)
+        def run_impl(params, enc, y0, pm, pv, kw=kw):
             return fused_ar_decode(
                 params, cfg, enc, y0, peer_mem=pm, peer_valid=pv,
                 compute_dtype=jnp.bfloat16, **kw,
             )
+
+        jitted = jax.jit(run_impl)
+
+        def run(jitted=jitted, pm=pm, pv=pv):
+            return jitted(params, enc, y0, pm, pv)
 
         try:
             t_c, t_i = bench(run, args.iters)

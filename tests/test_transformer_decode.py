@@ -79,8 +79,14 @@ def test_transformer_serve_fused_family_entry():
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(ref_p), atol=3e-5)
 
 
-@pytest.mark.parametrize("batched_heads", [False, True])
-def test_fused_peer_attention_parity_masked(batched_heads):
+@pytest.mark.parametrize(
+    "batched_heads,peer_chunk,peer_stream",
+    [(False, 0, False), (True, 0, False), (False, 16, False),
+     (False, 16, True)],
+)
+def test_fused_peer_attention_parity_masked(
+    batched_heads, peer_chunk, peer_stream
+):
     """Fused peer tier vs XLA with a MIXED mask: one viewer fully
     masked (must gate peer attention to exactly the no-peer output),
     one partially masked, rest fully valid."""
@@ -101,6 +107,7 @@ def test_fused_peer_attention_parity_masked(batched_heads):
         params, cfg, enc, past[:, -1, :],
         peer_mem=peer_mem.astype(jnp.float32), peer_valid=peer_valid,
         compute_dtype=jnp.float32, batched_heads=batched_heads,
+        peer_chunk=peer_chunk, peer_stream=peer_stream,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
     # the all-masked viewer must equal the entirely-peerless rollout
