@@ -62,6 +62,13 @@ class Seq2SeqConfig:
     ctx_dim: int = 0  # per-viewer context appended to decoder inputs
     cell: str = "xla"  # "xla" | "pallas"
     param_dtype: str = "float32"
+    # transformer family only — peer-token pooling: "none" keeps the
+    # full K*T cross-viewer token set; "mean" pools the K peers into
+    # ONE time-aligned masked-mean track (T tokens), cutting peer-
+    # attention work K-fold (the serve decode is attend-bound). The
+    # quality-leading LSTM pools peers into a single ctx VECTOR, so a
+    # whole pooled track retains strictly more structure.
+    peer_pool: str = "none"
 
     @property
     def dtype(self):

@@ -60,6 +60,20 @@ def variants(base, h=30):
         (nm("l2-peers-noise-b256"), base.replace(
             model=l2, lr=1e-3, warmup_steps=300, batch_size=256,
             scheduled_sampling=True, ss_start=1.0, ss_end=0.5), True),
+        # --- round-3 sweep (VERDICT r2 #8): attack the ~0.5deg mean
+        # deficit vs stacked-ss-crossuser; 'pool' doubles as the serving
+        # -perf candidate (peer attend is K-fold cheaper)
+        (nm("l2-peers-noise-pool"), base.replace(
+            model=dataclasses.replace(l2, peer_pool="mean"),
+            lr=1e-3, warmup_steps=300,
+            scheduled_sampling=True, ss_start=1.0, ss_end=0.5), True),
+        (nm("l2-peers-noise-gc3"), base.replace(
+            model=l2, lr=1e-3, warmup_steps=300, gc_weight=0.3,
+            scheduled_sampling=True, ss_start=1.0, ss_end=0.5), True),
+        (nm("l3-peers-noise"), base.replace(
+            model=dataclasses.replace(m, layers=3),
+            lr=1e-3, warmup_steps=300,
+            scheduled_sampling=True, ss_start=1.0, ss_end=0.5), True),
     ]
     return out
 
@@ -71,6 +85,8 @@ def main():
                     help="h_in = h_out frames (30 = matched vs LSTM rows; "
                     "100 = the stretch preset's native horizon)")
     ap.add_argument("--only", help="comma-separated variant filter")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="training seed (variance studies); recorded in rows")
     ap.add_argument("--log", default="experiments.jsonl")
     args = ap.parse_args()
 
@@ -113,7 +129,9 @@ def main():
         if only and name not in only:
             continue
         trd, ted = (trd_p, ted_p) if with_peers else (trd_np, ted_np)
-        cfg = cfg.replace(steps=args.steps, eval_every=args.steps)
+        cfg = cfg.replace(
+            steps=args.steps, eval_every=args.steps, seed=args.seed
+        )
         if cfg.batch_size > len(trd["past"]):
             cfg = cfg.replace(batch_size=len(trd["past"]))
         extras = getattr(fam, "batch_extras", None)
@@ -141,6 +159,8 @@ def main():
             "layers": cfg.model.layers,
             "hidden": cfg.model.hidden,
             "peers": with_peers,
+            "seed": args.seed,
+            "peer_pool": cfg.model.peer_pool,
             "train_time_s": round(time.time() - t0, 1),
         }
         rows.append(row)

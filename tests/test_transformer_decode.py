@@ -130,6 +130,19 @@ def test_peer_vmem_routing():
     assert not peer_vmem_fits(cfg100, 2, 4 * 100, compute_dtype=jnp.float32)
     assert not peer_vmem_fits(cfg100, 4, 4 * 100, compute_dtype=jnp.bfloat16)
 
+    # the STREAMED tier (r3) picks up what resident rejects: its
+    # footprint is chunk-sized, independent of KT
+    from longterm360fov_tpu.ops.transformer_decode import peer_stream_fits
+
+    cfg100_l4 = Seq2SeqConfig(d=3, hidden=128, layers=4, h_in=100, h_out=100)
+    assert peer_stream_fits(cfg100, 2, 4 * 100, compute_dtype=jnp.float32)
+    assert peer_stream_fits(cfg100_l4, 4, 4 * 100, compute_dtype=jnp.bfloat16)
+    # but f32 at 4 layers/100 frames blows even the self+cross resident
+    # budget -> XLA fallback stays the final tier
+    assert not peer_stream_fits(
+        cfg100_l4, 4, 4 * 100, compute_dtype=jnp.float32
+    )
+
 
 def test_transformer_fused_predict_fn():
     """End-to-end serving route: infer.make_predict_fn(impl='fused')
@@ -153,4 +166,51 @@ def test_transformer_fused_predict_fn():
     serve_f = infer.make_predict_fn(params, cfg, fam.apply, impl="fused")
     np.testing.assert_allclose(
         np.asarray(serve_f(past)), np.asarray(serve_x(past)), atol=5e-5
+    )
+
+
+def test_peer_pool_mean_parity_and_semantics():
+    """peer_pool='mean': fused kernel == XLA apply on the pooled track;
+    identical peers pool to the same tokens as a single peer; an
+    all-masked viewer degrades to the peerless rollout."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        _setup()[0], peer_pool="mean"
+    )
+    params = TR.init(jax.random.PRNGKey(9), cfg)
+    rng = np.random.default_rng(9)
+    past = jnp.asarray(rng.normal(size=(8, 6, 3)).astype(np.float32) * 0.1)
+    others = jnp.asarray(
+        rng.normal(size=(8, 3, 7, 3)).astype(np.float32) * 0.1
+    )
+    mask = np.ones((8, 3), np.float32)
+    mask[0] = 0.0
+    mask = jnp.asarray(mask)
+
+    ref = TR.apply(params, cfg, past, other_future_n=others, other_mask=mask)
+    out = TR.serve_fused(
+        params, cfg, past, other_future_n=others, other_mask=mask,
+        compute_dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+    # pooled token count: (B, T, H) not (B, K*T, H)
+    pm, pv = TR._peer_tokens(params, cfg, others, mask)
+    assert pm.shape == (8, 7, cfg.hidden)
+    assert pv.shape == (8, 7)
+
+    # K identical peers == that single peer's track
+    one = others[:, :1]
+    rep = jnp.tile(one, (1, 3, 1, 1))
+    pm1, _ = TR._peer_tokens(params, cfg, one, jnp.ones((8, 1)))
+    pm3, _ = TR._peer_tokens(params, cfg, rep, jnp.ones((8, 3)))
+    np.testing.assert_allclose(
+        np.asarray(pm1), np.asarray(pm3), atol=1e-5
+    )
+
+    # all-masked viewer == peerless
+    ref_np = TR.apply(params, cfg, past)
+    np.testing.assert_allclose(
+        np.asarray(out)[0], np.asarray(ref_np)[0], atol=3e-5
     )
