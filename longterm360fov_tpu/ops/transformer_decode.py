@@ -79,6 +79,7 @@ def _decode_kernel(
     batched_heads: bool,
     peer_chunk: int,
     peer_stream: bool,
+    attend_bf16: bool,
 ):
     """refs layout:
     inputs (all vectors pre-transposed to column form (…, H, 1) so they
@@ -230,6 +231,10 @@ def _decode_kernel(
                 valid = t_ids <= t_step
             else:
                 valid = t_ids < n_valid
+        # attend_bf16: do the big elementwise multiplies in the caches'
+        # bf16 dtype with f32 ACCUMULATION (sum dtype), instead of
+        # upconverting every (head, T_pad, B) cache read to f32 first —
+        # the conversion passes are ~1/3 of the attend's VPU ops
         if batched_heads:
             # all 4 heads in one op chain: (N, head, T, B) segment
             # reductions instead of a 4x-unrolled per-head chain — fewer,
@@ -238,7 +243,15 @@ def _decode_kernel(
             k4 = k_read(slice(0, hidden)).reshape(
                 N_HEADS, head, t_pad, tile_b
             )
-            logits = jnp.sum(q4 * k4, axis=1)  # (N, T_pad, B) f32
+            if attend_bf16:
+                logits = jnp.sum(
+                    q4.astype(compute_dtype) * k4, axis=1,
+                    dtype=jnp.float32,
+                )
+            else:
+                logits = jnp.sum(
+                    q4 * k4.astype(jnp.float32), axis=1
+                )  # (N, T_pad, B) f32
             logits = jnp.where(valid[None], logits, -1e9)
             m = jnp.max(logits, axis=1, keepdims=True)
             w = jnp.exp(logits - m)
@@ -246,20 +259,44 @@ def _decode_kernel(
             v4 = v_read(slice(0, hidden)).reshape(
                 N_HEADS, head, t_pad, tile_b
             )
-            out = jnp.sum(w[:, None] * v4, axis=2)  # (N, head, B)
+            if attend_bf16:
+                out = jnp.sum(
+                    w.astype(compute_dtype)[:, None] * v4, axis=2,
+                    dtype=jnp.float32,
+                )
+            else:
+                out = jnp.sum(
+                    w[:, None] * v4.astype(jnp.float32), axis=2
+                )  # (N, head, B)
             return out.reshape(hidden, tile_b)
         outs = []
         for n in range(N_HEADS):
             sl = slice(n * head, (n + 1) * head)
             qh = q[sl, :] * scale  # (head, B)
             kh = k_read(sl)  # (head, T_pad, B)
-            logits = jnp.sum(qh[:, None, :] * kh, axis=0)  # (T_pad, B) f32
+            if attend_bf16:
+                logits = jnp.sum(
+                    qh.astype(compute_dtype)[:, None, :] * kh, axis=0,
+                    dtype=jnp.float32,
+                )
+            else:
+                logits = jnp.sum(
+                    qh[:, None, :] * kh.astype(jnp.float32), axis=0
+                )  # (T_pad, B) f32
             logits = jnp.where(valid, logits, -1e9)
             m = jnp.max(logits, axis=0, keepdims=True)
             w = jnp.exp(logits - m)
             w = w / jnp.sum(w, axis=0, keepdims=True)
             vh = v_read(sl)  # (head, T_pad, B)
-            outs.append(jnp.sum(w[None, :, :] * vh, axis=1))  # (head, B)
+            if attend_bf16:
+                outs.append(jnp.sum(
+                    w.astype(compute_dtype)[None, :, :] * vh, axis=1,
+                    dtype=jnp.float32,
+                ))
+            else:
+                outs.append(jnp.sum(
+                    w[None, :, :] * vh.astype(jnp.float32), axis=1
+                ))  # (head, B)
         return jnp.concatenate(outs, axis=0)  # (H, B)
 
     def attend_peer_chunked(q, layer_idx):
@@ -277,18 +314,20 @@ def _decode_kernel(
         def body(c, carry):
             m_run, l_run, acc = carry
             start = pl.multiple_of(c * peer_chunk, peer_chunk)
-            k4 = (
-                peer_ks[layer_idx][:, pl.ds(start, peer_chunk), :]
-                .astype(jnp.float32)
-                .reshape(N_HEADS, head, peer_chunk, tile_b)
+            k4 = peer_ks[layer_idx][:, pl.ds(start, peer_chunk), :].reshape(
+                N_HEADS, head, peer_chunk, tile_b
             )
-            v4 = (
-                peer_vs[layer_idx][:, pl.ds(start, peer_chunk), :]
-                .astype(jnp.float32)
-                .reshape(N_HEADS, head, peer_chunk, tile_b)
+            v4 = peer_vs[layer_idx][:, pl.ds(start, peer_chunk), :].reshape(
+                N_HEADS, head, peer_chunk, tile_b
             )
             valid = pmask_ref[pl.ds(start, peer_chunk), :] > 0.0
-            logits = jnp.sum(q4 * k4, axis=1)  # (N, chunk, B)
+            if attend_bf16:
+                logits = jnp.sum(
+                    q4.astype(compute_dtype) * k4, axis=1,
+                    dtype=jnp.float32,
+                )
+            else:
+                logits = jnp.sum(q4 * k4.astype(jnp.float32), axis=1)
             logits = jnp.where(valid[None], logits, -1e9)
             m_new = jnp.maximum(
                 m_run, jnp.max(logits, axis=1, keepdims=True)
@@ -296,9 +335,14 @@ def _decode_kernel(
             corr = jnp.exp(m_run - m_new)  # (N, 1, B)
             w = jnp.exp(logits - m_new)  # (N, chunk, B)
             l_new = l_run * corr + jnp.sum(w, axis=1, keepdims=True)
-            acc_new = acc * corr + jnp.sum(
-                w[:, None] * v4, axis=2
-            )  # (N, head, B)
+            if attend_bf16:
+                av = jnp.sum(
+                    w.astype(compute_dtype)[:, None] * v4, axis=2,
+                    dtype=jnp.float32,
+                )
+            else:
+                av = jnp.sum(w[:, None] * v4.astype(jnp.float32), axis=2)
+            acc_new = acc * corr + av  # (N, head, B)
             return m_new, l_new, acc_new
 
         m0 = jnp.full((N_HEADS, 1, tile_b), -1e30, jnp.float32)
@@ -348,15 +392,11 @@ def _decode_kernel(
 
             for dma in get_dmas(slot, c):
                 dma.wait()
-            k4 = (
-                peer_kbuf[slot]
-                .astype(jnp.float32)
-                .reshape(N_HEADS, head, peer_chunk, tile_b)
+            k4 = peer_kbuf[slot].reshape(
+                N_HEADS, head, peer_chunk, tile_b
             )
-            v4 = (
-                peer_vbuf[slot]
-                .astype(jnp.float32)
-                .reshape(N_HEADS, head, peer_chunk, tile_b)
+            v4 = peer_vbuf[slot].reshape(
+                N_HEADS, head, peer_chunk, tile_b
             )
             start = pl.multiple_of(c * peer_chunk, peer_chunk)
             valid = pmask_ref[pl.ds(start, peer_chunk), :] > 0.0
@@ -518,6 +558,7 @@ def fused_ar_decode(
     batched_heads: bool = False,
     peer_chunk: int = 0,
     peer_stream: bool = False,
+    attend_bf16: bool = False,
 ) -> jax.Array:
     """Whole-horizon fused AR decode → (B, h_out, D) f32.
 
@@ -626,6 +667,7 @@ def fused_ar_decode(
         batched_heads=batched_heads,
         peer_chunk=peer_chunk,
         peer_stream=peer_stream,
+        attend_bf16=attend_bf16,
     )
 
     def inv_spec(arr):  # grid-invariant whole-array VMEM block

@@ -87,14 +87,23 @@ def bench_serve(cfg, fam, params, batch_n, iters, with_peers=True):
         except ValueError:
             continue
         try:
+            # honest barriers (r3): block_until_ready lies over the
+            # relay (1000x inflation measured) — time with a
+            # data-dependent scalar fetch and the difference method
+            def timed(n):
+                t0 = time.time()
+                out = None
+                for _ in range(n):
+                    out = serve(batch)
+                float(jnp.sum(out))
+                return time.time() - t0
+
             t0 = time.time()
-            serve(batch).block_until_ready()
+            timed(1)
             compile_s = time.time() - t0
-            t0 = time.time()
-            for _ in range(iters):
-                out = serve(batch)
-            out.block_until_ready()
-            thr = batch_n * iters / (time.time() - t0)
+            t1 = timed(1)
+            t2 = timed(1 + iters)
+            thr = batch_n * iters / max(t2 - t1, 1e-9)
             results[impl] = {
                 "traj_per_s": round(thr, 1),
                 "compile_s": round(compile_s, 1),

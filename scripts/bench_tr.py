@@ -97,6 +97,9 @@ def main():
             kw["tile_b"] = int(name[2:])
         elif name == "stream":
             kw["peer_stream"] = True
+        elif name in ("ab16", "ab16np"):
+            kw["attend_bf16"] = True
+            peers = name == "ab16"
         else:
             # forward unknown names as boolean kwargs, with optional
             # 'np' suffix for the peerless twin: e.g. chunked, chunkednp

@@ -198,3 +198,9 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+# NOTE (r3): the timings above used block_until_ready, which became a
+# lying barrier over the axon relay this round (async completion).
+# This file is kept as the archived round-1 experiment record; re-run
+# with scalar-fetch difference timing (see bench.py) before trusting
+# fresh numbers from it.

@@ -49,14 +49,22 @@ def bench_one(path, batch, tile_b, iters=20, dtype="float32"):
             pred_n = S.decode(params, cfg.model, past_n)
             return windows.denormalize_window(pred_n, anchor, to_sphere=True)
 
+    # honest barriers (r3): block_until_ready lies over the relay —
+    # scalar-fetch + difference method (see bench.py)
+    def timed(n):
+        t0 = time.time()
+        out = None
+        for _ in range(n):
+            out = serve(past)
+        float(jnp.sum(out))
+        return time.time() - t0
+
     t0 = time.time()
-    serve(past).block_until_ready()
+    timed(1)
     compile_s = time.time() - t0
-    t0 = time.time()
-    for _ in range(iters):
-        out = serve(past)
-    out.block_until_ready()
-    dt = time.time() - t0
+    t1 = timed(1)
+    t2 = timed(1 + iters)
+    dt = t2 - t1
     return {
         "path": path,
         "batch": batch,

@@ -214,3 +214,23 @@ def test_peer_pool_mean_parity_and_semantics():
     np.testing.assert_allclose(
         np.asarray(out)[0], np.asarray(ref_np)[0], atol=3e-5
     )
+
+
+def test_fused_ar_decode_attend_bf16_close():
+    """attend_bf16 (bf16 multiplies, f32 accumulation) stays within the
+    bf16-tier tolerance of the exact decode, peers included."""
+    cfg, params, past = _setup(layers=2, h_in=6, h_out=5, b=8, seed=7)
+    rng = np.random.default_rng(7)
+    others = jnp.asarray(
+        rng.normal(size=(8, 3, 5, 3)).astype(np.float32) * 0.1
+    )
+    mask = jnp.ones((8, 3))
+    ref = TR.apply(params, cfg, past, other_future_n=others, other_mask=mask)
+    enc = TR._encode(params, cfg, past)
+    pm, pv = TR._peer_tokens(params, cfg, others, mask)
+    out = fused_ar_decode(
+        params, cfg, enc, past[:, -1, :],
+        peer_mem=pm.astype(jnp.float32), peer_valid=pv,
+        compute_dtype=jnp.bfloat16, attend_bf16=True,
+    )
+    assert float(jnp.abs(out - ref).max()) < 0.08
