@@ -157,6 +157,10 @@ def _presets() -> Dict[str, ExperimentConfig]:
             scheduled_sampling=True,  # transformer: noisy teacher forcing
             ss_start=1.0,
             ss_end=0.3,
+            # r3 recipe addition: spherical-loss blend measured
+            # 6.25±0.36 vs 6.50±0.18 without (3 seeds, RESULTS.md) —
+            # closes the gap to stacked-ss-crossuser to insignificance
+            gc_weight=0.3,
         ),
     }
 

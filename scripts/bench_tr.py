@@ -45,6 +45,12 @@ def main():
     ap.add_argument("--layers", type=int, default=2)
     ap.add_argument("--peers", type=int, default=4)
     ap.add_argument("--variants", default="v0")
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"])
+    ap.add_argument("--routed", action="store_true",
+                    help="measure models.transformer.serve_fused (tier "
+                    "routing incl. streamed/XLA fallbacks) instead of "
+                    "the kernel directly")
     ap.add_argument("--out", default="bench_tr.jsonl")
     args = ap.parse_args()
 
@@ -112,26 +118,46 @@ def main():
         pm = peer_mem if peers else None
         pv = peer_valid if peers else None
 
+        cdt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
         # everything big rides as a jit ARGUMENT: closed-over device
         # arrays bake into the HLO as literals and the relay's
         # remote_compile rejects the payload with HTTP 413 (~100s of MB
         # — enc is 210 MB, peer_mem 839 MB at b4096/100f)
-        def run_impl(params, enc, y0, pm, pv, kw=kw):
-            return fused_ar_decode(
-                params, cfg, enc, y0, peer_mem=pm, peer_valid=pv,
-                compute_dtype=jnp.bfloat16, **kw,
-            )
+        if args.routed:
+            def run_impl(params, past, others, mask, kw=kw):
+                del kw
+                return TR.serve_fused(
+                    params, cfg, past,
+                    other_future_n=others, other_mask=mask,
+                    compute_dtype=cdt,
+                )
 
-        jitted = jax.jit(run_impl)
+            jitted = jax.jit(run_impl)
 
-        def run(jitted=jitted, pm=pm, pv=pv):
-            return jitted(params, enc, y0, pm, pv)
+            def run(jitted=jitted, peers=peers):
+                return jitted(
+                    params, past,
+                    others if peers else None, mask if peers else None,
+                )
+        else:
+            def run_impl(params, enc, y0, pm, pv, kw=kw):
+                return fused_ar_decode(
+                    params, cfg, enc, y0, peer_mem=pm, peer_valid=pv,
+                    compute_dtype=cdt, **kw,
+                )
+
+            jitted = jax.jit(run_impl)
+
+            def run(jitted=jitted, pm=pm, pv=pv):
+                return jitted(params, enc, y0, pm, pv)
 
         try:
             t_c, t_i = bench(run, args.iters)
             row = {
                 "variant": name, "batch": b, "frames": t,
                 "layers": args.layers, "peers": args.peers if peers else 0,
+                "dtype": args.dtype, "routed": bool(args.routed),
                 "compile_s": round(t_c, 1), "ms": round(t_i * 1e3, 1),
                 "traj_per_s": round(b / t_i, 1),
                 "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
