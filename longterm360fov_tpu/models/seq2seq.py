@@ -69,6 +69,13 @@ class Seq2SeqConfig:
     # quality-leading LSTM pools peers into a single ctx VECTOR, so a
     # whole pooled track retains strictly more structure.
     peer_pool: str = "none"
+    # transformer family only — temporal window for peer attention:
+    # 0 = attend over every peer timestep; w > 0 = each decode step t
+    # attends only peer tokens within |t_k - t| <= w. Cuts the decode's
+    # dominant VPU cost ~(T / window)-fold and is an inductive bias
+    # (peers at the same playback moment carry the aligned signal).
+    # Applied consistently in training AND the fused serve kernel.
+    peer_window: int = 0
 
     @property
     def dtype(self):

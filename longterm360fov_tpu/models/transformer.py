@@ -208,8 +208,25 @@ def _peer_tokens(params, cfg, other_future_n, other_mask):
     return tokens, valid
 
 
+def _peer_window_mask(cfg, kt, *, tq=None, t=None):
+    """Temporal window mask for peer attention (cfg.peer_window > 0):
+    decode step t attends only peer tokens with |t_k - t| <= w. Token
+    time t_k is the index within each peer's T-segment (= the index
+    itself for the pooled track). Returns (Tq, KT) for the parallel
+    pass, (KT,) for one decode step, or None when windowing is off."""
+    if cfg.peer_window <= 0:
+        return None
+    seg = kt if cfg.peer_pool == "mean" else cfg.h_out
+    idx = jnp.arange(kt) % seg
+    if t is not None:
+        return jnp.abs(idx - t) <= cfg.peer_window
+    q = jnp.arange(tq)[:, None]
+    return jnp.abs(idx[None, :] - q) <= cfg.peer_window
+
+
 def _decoder_block(layer, x, enc_mem, peer_mem, peer_valid, *, causal_mask,
-                   self_kv=None, cross_kv=None, peer_kv=None):
+                   self_kv=None, cross_kv=None, peer_kv=None,
+                   peer_tmask=None):
     """One decoder layer on (B,Tq,H). With self_kv=(k,v) the
     self-attention keys/values come from the cache (decode path);
     cross_kv/peer_kv are the PRECOMPUTED encoder/peer K,V — recomputing
@@ -241,10 +258,12 @@ def _decoder_block(layer, x, enc_mem, peer_mem, peer_valid, *, causal_mask,
         x = x + _attention_qkv(layer["cross_attn"], q, *cross_kv)
     if peer_mem is not None:
         q_in = _ln(layer["ln3"], x)
+        mask3 = peer_valid[:, None, :]
+        if peer_tmask is not None:
+            mask3 = mask3 & peer_tmask[None]  # (B, Tq, KT)
         if peer_kv is None:
             pa = _attention(
-                layer["peer_attn"], q_in, peer_mem,
-                mask=peer_valid[:, None, :],
+                layer["peer_attn"], q_in, peer_mem, mask=mask3
             )
         else:
             qp = _split_heads(
@@ -252,12 +271,12 @@ def _decoder_block(layer, x, enc_mem, peer_mem, peer_valid, *, causal_mask,
                         preferred_element_type=jnp.float32)
             )
             pa = _attention_qkv(
-                layer["peer_attn"], qp, *peer_kv,
-                mask=peer_valid[:, None, :],
+                layer["peer_attn"], qp, *peer_kv, mask=mask3
             )
-        # rows with zero valid peers gate to exactly 0 (otherwise the
-        # -1e9-everywhere softmax attends uniformly to garbage)
-        has_peer = jnp.any(peer_valid, axis=-1)[:, None, None]
+        # positions with zero attendable peer tokens gate to exactly 0
+        # (otherwise the -1e9-everywhere softmax attends uniformly to
+        # garbage); per-POSITION now that the window can empty a row
+        has_peer = jnp.any(mask3, axis=-1)[..., None]
         x = x + jnp.where(has_peer, pa, 0.0)
     x = x + _mlp(layer["mlp"], _ln(layer["ln4"], x))
     return x
@@ -316,9 +335,14 @@ def _parallel_decode(params, cfg, enc_mem, peer_mem, peer_valid, y0, future_n,
         ).astype(tokens_in.dtype)
     x = jnp.dot(tokens_in, params["in_proj"]) + _pos_enc(t, cfg.hidden)
     causal = jnp.tril(jnp.ones((t, t), bool))[None]
+    tmask = (
+        None if peer_mem is None
+        else _peer_window_mask(cfg, peer_mem.shape[1], tq=t)
+    )
     for layer in params["dec"]:
         x = _decoder_block(
-            layer, x, enc_mem, peer_mem, peer_valid, causal_mask=causal
+            layer, x, enc_mem, peer_mem, peer_valid, causal_mask=causal,
+            peer_tmask=tmask,
         )
     x = _ln(params["final_ln"], x)
     return (
@@ -401,6 +425,13 @@ def _ar_decode(params, cfg, enc_mem, peer_mem, peer_valid, y0):
                 ),
                 cross_kv=(ck, cv),
                 peer_kv=(pk, pv) if pk is not None else None,
+                peer_tmask=(
+                    None
+                    if peer_mem is None or cfg.peer_window <= 0
+                    else _peer_window_mask(
+                        cfg, peer_mem.shape[1], t=t
+                    )[None, :]
+                ),
             )
         x = _ln(params["final_ln"], x)
         y = (
@@ -469,8 +500,11 @@ def serve_fused(
             # escalation tier (VERDICT r2 #4): stream peer K/V chunks
             # from HBM per decode step — slower than resident (re-reads
             # peer K/V every step) but beats the XLA scan (~3x measured
-            # at the 100-frame shape) and, unlike it, scales past b4096
-            if peer_stream_fits(
+            # at the 100-frame shape) and, unlike it, scales past b4096.
+            # The streamed kernel does NOT implement the temporal window
+            # (cfg.peer_window), so windowed configs over the resident
+            # cap take the exact XLA path instead.
+            if cfg.peer_window <= 0 and peer_stream_fits(
                 cfg, n_layers, kt, tile_b=tile_b,
                 compute_dtype=compute_dtype,
             ):

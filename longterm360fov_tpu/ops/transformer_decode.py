@@ -80,6 +80,9 @@ def _decode_kernel(
     peer_chunk: int,
     peer_stream: bool,
     attend_bf16: bool,
+    peer_window: int,
+    peer_t_seg: int,
+    n_peers: int,
 ):
     """refs layout:
     inputs (all vectors pre-transposed to column form (…, H, 1) so they
@@ -352,6 +355,46 @@ def _decode_kernel(
         out = acc / jnp.maximum(l_f, 1e-30)
         return out.reshape(hidden, tile_b)
 
+    def attend_peer_windowed(q, layer_idx, t):
+        """Windowed peer attention (cfg.peer_window > 0): step t attends
+        only peer tokens with |t_k - t| <= w, so the compute touches a
+        per-peer SLICE of ``span`` rows instead of the whole T-segment —
+        the decode's dominant VPU cost drops ~(T/span)-fold. The peer
+        cache is laid out as n_peers segments of peer_t_seg
+        (gran-aligned) rows each, so every slice start stays aligned.
+        Numerics match the XLA windowed mask (parity-tested)."""
+        gran = 16 if compute_dtype == jnp.bfloat16 else 8
+        w = peer_window
+        span = min(_round_up(2 * w + 1, gran) + gran, peer_t_seg)
+        # aligned slice [s, s+span) covering [t-w, t+w] within the
+        # segment: align-down loses < gran rows, span absorbs them
+        s0 = jnp.maximum(t - w, 0)
+        s = jnp.minimum((s0 // gran) * gran, peer_t_seg - span)
+        q4 = (q * scale).reshape(N_HEADS, head, 1, tile_b)
+        ks, vs, valids = [], [], []
+        time_ids = lax.broadcasted_iota(jnp.int32, (span, tile_b), 0)
+        for k in range(n_peers):
+            off = k * peer_t_seg
+            ks.append(peer_ks[layer_idx][:, pl.ds(off + s, span), :])
+            vs.append(peer_vs[layer_idx][:, pl.ds(off + s, span), :])
+            pm = pmask_ref[pl.ds(off + s, span), :] > 0.0
+            tm = jnp.abs(time_ids + s - t) <= w
+            valids.append(jnp.logical_and(pm, tm))
+        k4 = jnp.concatenate(ks, axis=1).reshape(
+            N_HEADS, head, n_peers * span, tile_b
+        )
+        v4 = jnp.concatenate(vs, axis=1).reshape(
+            N_HEADS, head, n_peers * span, tile_b
+        )
+        valid = jnp.concatenate(valids, axis=0)  # (K*span, B)
+        logits = jnp.sum(q4 * k4.astype(jnp.float32), axis=1)
+        logits = jnp.where(valid[None], logits, -1e9)
+        m = jnp.max(logits, axis=1, keepdims=True)
+        wgt = jnp.exp(logits - m)
+        wgt = wgt / jnp.sum(wgt, axis=1, keepdims=True)
+        out = jnp.sum(wgt[:, None] * v4.astype(jnp.float32), axis=2)
+        return out.reshape(hidden, tile_b)
+
     def attend_peer_streamed(q, layer_idx):
         """Peer attention with K/V chunks DMA'd from HBM on demand
         (double-buffered — the guide's pipelining pattern) instead of
@@ -471,6 +514,8 @@ def _decode_kernel(
                 qp = mm(attn_w[l, 6], ln(x, ln_w[l, 3, 0], ln_w[l, 3, 1]))
                 if peer_stream:
                     attp = attend_peer_streamed(qp, l)
+                elif peer_window:
+                    attp = attend_peer_windowed(qp, l, t)
                 elif peer_chunk:
                     attp = attend_peer_chunked(qp, l)
                 else:
@@ -598,6 +643,26 @@ def fused_ar_decode(
     kt_pad = 0
     if peer_stream and not peer_chunk:
         peer_chunk = 112 if compute_dtype == jnp.bfloat16 else 104
+    # windowed peer attention (cfg.peer_window > 0, resident only):
+    # lay the peer tokens out as n_peers gran-aligned segments so the
+    # kernel's per-step window slices stay aligned
+    peer_window = 0
+    peer_t_seg = n_peers = 0
+    if peer_mem is not None and cfg.peer_window > 0 and not peer_stream:
+        peer_window = cfg.peer_window
+        kt0 = peer_mem.shape[1]
+        seg = kt0 if cfg.peer_pool == "mean" else cfg.h_out
+        n_peers = max(kt0 // seg, 1)
+        peer_t_seg = _round_up(seg, gran)
+        if peer_t_seg != seg:
+            pm3 = peer_mem.reshape(b, n_peers, seg, h)
+            pm3 = jnp.pad(
+                pm3, ((0, 0), (0, 0), (0, peer_t_seg - seg), (0, 0))
+            )
+            peer_mem = pm3.reshape(b, n_peers * peer_t_seg, h)
+            pv3 = peer_valid.reshape(b, n_peers, seg)
+            pv3 = jnp.pad(pv3, ((0, 0), (0, 0), (0, peer_t_seg - seg)))
+            peer_valid = pv3.reshape(b, n_peers * peer_t_seg)
     if peer_mem is not None:
         kt = peer_mem.shape[1]
         if peer_chunk:
@@ -668,6 +733,9 @@ def fused_ar_decode(
         peer_chunk=peer_chunk,
         peer_stream=peer_stream,
         attend_bf16=attend_bf16,
+        peer_window=peer_window,
+        peer_t_seg=peer_t_seg,
+        n_peers=n_peers,
     )
 
     def inv_spec(arr):  # grid-invariant whole-array VMEM block

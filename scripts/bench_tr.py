@@ -47,6 +47,8 @@ def main():
     ap.add_argument("--variants", default="v0")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
+    ap.add_argument("--window", type=int, default=0,
+                    help="cfg.peer_window (windowed peer attention)")
     ap.add_argument("--routed", action="store_true",
                     help="measure models.transformer.serve_fused (tier "
                     "routing incl. streamed/XLA fallbacks) instead of "
@@ -63,7 +65,8 @@ def main():
 
     t = args.frames
     cfg = Seq2SeqConfig(
-        d=3, hidden=128, layers=args.layers, h_in=t, h_out=t
+        d=3, hidden=128, layers=args.layers, h_in=t, h_out=t,
+        peer_window=args.window,
     )
     params = TR.init(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
@@ -158,6 +161,7 @@ def main():
                 "variant": name, "batch": b, "frames": t,
                 "layers": args.layers, "peers": args.peers if peers else 0,
                 "dtype": args.dtype, "routed": bool(args.routed),
+                "window": args.window,
                 "compile_s": round(t_c, 1), "ms": round(t_i * 1e3, 1),
                 "traj_per_s": round(b / t_i, 1),
                 "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),

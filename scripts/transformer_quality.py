@@ -67,12 +67,22 @@ def variants(base, h=30):
             model=dataclasses.replace(l2, peer_pool="mean"),
             lr=1e-3, warmup_steps=300,
             scheduled_sampling=True, ss_start=1.0, ss_end=0.5), True),
-        (nm("l2-peers-noise-gc3"), base.replace(
-            model=l2, lr=1e-3, warmup_steps=300, gc_weight=0.3,
-            scheduled_sampling=True, ss_start=1.0, ss_end=0.5), True),
         (nm("l3-peers-noise"), base.replace(
             model=dataclasses.replace(m, layers=3),
             lr=1e-3, warmup_steps=300,
+            scheduled_sampling=True, ss_start=1.0, ss_end=0.5), True),
+        # windowed peer attention (r3): |t_k - t| <= w — serving's
+        # dominant cost drops (T/window)-fold if quality holds
+        (nm("l2-peers-noise-gc3-w4"), base.replace(
+            model=dataclasses.replace(l2, peer_window=4),
+            lr=1e-3, warmup_steps=300, gc_weight=0.3,
+            scheduled_sampling=True, ss_start=1.0, ss_end=0.5), True),
+        (nm("l2-peers-noise-gc3-w8"), base.replace(
+            model=dataclasses.replace(l2, peer_window=8),
+            lr=1e-3, warmup_steps=300, gc_weight=0.3,
+            scheduled_sampling=True, ss_start=1.0, ss_end=0.5), True),
+        (nm("l2-peers-noise-gc3"), base.replace(
+            model=l2, lr=1e-3, warmup_steps=300, gc_weight=0.3,
             scheduled_sampling=True, ss_start=1.0, ss_end=0.5), True),
     ]
     return out

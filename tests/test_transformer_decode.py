@@ -234,3 +234,72 @@ def test_fused_ar_decode_attend_bf16_close():
         compute_dtype=jnp.bfloat16, attend_bf16=True,
     )
     assert float(jnp.abs(out - ref).max()) < 0.08
+
+
+@pytest.mark.parametrize("w,pool", [(2, "none"), (3, "mean")])
+def test_peer_window_parity_and_effect(w, pool):
+    """Windowed peer attention (cfg.peer_window > 0): fused kernel ==
+    XLA masked path for full AND pooled tracks; windowing provably
+    changes the rollout vs the unwindowed model."""
+    import dataclasses
+
+    cfg = Seq2SeqConfig(
+        d=3, hidden=128, layers=2, h_in=6, h_out=7,
+        peer_window=w, peer_pool=pool,
+    )
+    params = TR.init(jax.random.PRNGKey(11), cfg)
+    rng = np.random.default_rng(11)
+    past = jnp.asarray(rng.normal(size=(8, 6, 3)).astype(np.float32) * 0.1)
+    others = jnp.asarray(
+        rng.normal(size=(8, 3, 7, 3)).astype(np.float32) * 0.1
+    )
+    mask = np.ones((8, 3), np.float32)
+    mask[0] = 0.0
+    mask[1, 1:] = 0.0
+    mask = jnp.asarray(mask)
+
+    ref = TR.apply(params, cfg, past, other_future_n=others, other_mask=mask)
+    out = TR.serve_fused(
+        params, cfg, past, other_future_n=others, other_mask=mask,
+        compute_dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+    cfg0 = dataclasses.replace(cfg, peer_window=0)
+    ref0 = TR.apply(
+        params, cfg0, past, other_future_n=others, other_mask=mask
+    )
+    assert not np.allclose(np.asarray(ref), np.asarray(ref0))
+
+    # all-masked viewer still degrades exactly to peerless
+    ref_np = TR.apply(params, cfg, past)
+    np.testing.assert_allclose(
+        np.asarray(out)[0], np.asarray(ref_np)[0], atol=3e-5
+    )
+
+
+def test_peer_window_training_consistency():
+    """The parallel (training) pass applies the same temporal window:
+    teacher-forced logits differ from the unwindowed model's."""
+    import dataclasses
+
+    cfg = Seq2SeqConfig(
+        d=3, hidden=128, layers=1, h_in=5, h_out=6, peer_window=2
+    )
+    params = TR.init(jax.random.PRNGKey(12), cfg)
+    rng = np.random.default_rng(12)
+    past = jnp.asarray(rng.normal(size=(4, 5, 3)).astype(np.float32) * 0.1)
+    fut = jnp.asarray(rng.normal(size=(4, 6, 3)).astype(np.float32) * 0.1)
+    others = jnp.asarray(
+        rng.normal(size=(4, 2, 6, 3)).astype(np.float32) * 0.1
+    )
+    mask = jnp.ones((4, 2))
+    out_w = TR.apply(
+        params, cfg, past, fut, other_future_n=others, other_mask=mask
+    )
+    cfg0 = dataclasses.replace(cfg, peer_window=0)
+    out_0 = TR.apply(
+        params, cfg0, past, fut, other_future_n=others, other_mask=mask
+    )
+    assert out_w.shape == out_0.shape == (4, 6, 3)
+    assert not np.allclose(np.asarray(out_w), np.asarray(out_0))
