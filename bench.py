@@ -10,49 +10,52 @@ pipeline (the numpy oracle in longterm360fov_tpu.oracle; the reference
 itself is a CPU research codebase and its mount was empty — SURVEY.md
 provenance note). Target: >50x (BASELINE.json:5).
 
-Un-zeroable design (round 3, after BENCH_r02 recorded 0.0 when the TPU
-relay wedged mid-compile):
+Un-zeroable design (round 3; hardened twice):
 
-1. NOTHING touches the TPU before the CPU oracle. Params are built in
-   pure numpy (oracle.init_params_np) and the oracle baseline is timed
-   first, so a dead relay cannot starve the denominator.
-2. Tiers run cheapest-compile-first. The relay server caches XLA (not
-   Mosaic) programs by HLO across processes, so the XLA-scan tiers
-   compile in ~2 s on any warm server and leave a real >=1.4M traj/s
-   number within the first minute; the fused Pallas tier (8.3M traj/s,
-   but 200-450 s Mosaic warm-up on the FIRST Mosaic compile of any
-   process) runs last, inside whatever budget remains.
-3. `_result` is updated after EVERY tier, each tier gets one retry on
-   relay errors, and a SIGALRM watchdog emits the best value so far if
-   anything stalls past the budget.
-4. Params are passed as jit ARGUMENTS, never closed over — closures
-   bake them into the HLO as literals, which both defeats the server's
-   cross-process HLO cache and risks HTTP 413 on large payloads.
+1. The PARENT process never touches the TPU. Params are pure numpy
+   (oracle.init_params_np), the CPU-oracle baseline runs first, and all
+   TPU measurement happens in sequential CHILD subprocesses.
+2. A wedged relay session cannot zero the result: each child has its
+   own timeout; if it hangs (r2's watchdog failure, and again r3 right
+   after a heavy matrix run — a stuck compile RPC blocks its process
+   FOREVER), the parent kills it, keeps any tier lines the child
+   already flushed, and the next child starts a FRESH relay session.
+3. Children run tiers cheapest-compile-first and print one JSON line
+   per completed tier immediately; the parent keeps the best so far and
+   a SIGALRM watchdog guarantees the final line.
+4. Params ride as jit ARGUMENTS (closures bake into the HLO: cache
+   misses + HTTP 413 on big payloads), and timing uses data-dependent
+   scalar fetches + the difference method (block_until_ready lies over
+   the relay — 1000x inflation measured). A plausibility guard rejects
+   readings implying >60% MFU.
 
-Tuning provenance (scripts/tpu_sweep.py → bench_sweep.jsonl, TPU v5e):
-primary path is ops.fused_lstm.fused_serve — encoder + autoregressive
-decoder in ONE Pallas kernel, weights/states VMEM-resident for the
-whole request, one packed [x,h] matmul per layer-step, plateauing
-≈8.3M traj/s at ≥256K concurrent viewers (vs 3.9M for the best XLA
-scan path at its optimal batch). f32 vs bf16 is a wash inside VMEM, so
-f32 is kept for exactness.
+Tuning provenance: scripts/tpu_sweep.py → bench_sweep.jsonl; primary
+path is ops.fused_lstm.fused_serve (one Pallas kernel per request,
+9.1M traj/s f32 at b262144 measured r3).
 """
 
 import json
+import os
 import signal
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 BATCH_FUSED = 262144
-BATCH_XLA = 16384
-BATCH_FIRST = 4096
 ITERS = 10
 DEADLINE_S = 540
-# Mosaic warm-up measured 218-450 s across rounds; leave a safety margin
-# so the watchdog (not a hung compile) decides whether we get the number.
-FUSED_MIN_BUDGET_S = 60
+TIERS = {
+    # name: (impl, batch, min_remaining_s_to_attempt)
+    "xla-f32-b4096": ("xla-f32", 4096, 10),
+    "xla-bf16-b16384": ("xla-bf16", 16384, 20),
+    "fused-f32-b262144": ("fused", BATCH_FUSED, 70),
+}
+# one child measures EVERYTHING (one process warmup, one relay
+# session, cheap tiers first so a mid-run wedge still leaves numbers);
+# a second child only fills in tiers the first one missed
+CHILD_A = ["xla-f32-b4096", "xla-bf16-b16384", "fused-f32-b262144"]
 
 _T0 = time.time()
 _result = {"value": 0.0, "vs_baseline": 0.0, "error": "no tier completed"}
@@ -76,8 +79,6 @@ def emit_and_exit(*_args):
         "vs_baseline": round(_result["vs_baseline"], 2),
     }
     if _result.get("model_flops"):
-        # analytic MXU FLOPs per served trajectory (utils/flops.py) and
-        # the implied useful-FLOP rate / MFU vs the v5e bf16 peak
         out["model_flops"] = round(_result["model_flops"])
         out["tflops_per_sec"] = round(
             _result["value"] * _result["model_flops"] / 1e12, 2
@@ -93,57 +94,35 @@ def emit_and_exit(*_args):
     sys.exit(0)
 
 
-def main():
-    signal.signal(signal.SIGALRM, emit_and_exit)
-    signal.alarm(DEADLINE_S)
+# ---------------------------------------------------------------------------
+# child: owns the TPU session, measures the requested tiers
+# ---------------------------------------------------------------------------
 
-    # ---- Tier 0: CPU oracle. Pure numpy — zero TPU/JAX-device contact
-    # (the round-2 bench died because params init went through the
-    # wedged TPU relay BEFORE the oracle ever ran).
-    from longterm360fov_tpu import oracle
-    from longterm360fov_tpu.config import get_preset
-    from longterm360fov_tpu.utils import flops as F
 
-    cfg = get_preset("seq2seq-tf-30")
-    _result["model_flops"] = F.decode_flops(cfg)
-    params_np = oracle.init_params_np(0, cfg.model)
+def child_main(tier_names):
+    import dataclasses
 
-    rng = np.random.default_rng(0)
-    past_h = rng.normal(size=(BATCH_FUSED, cfg.model.h_in, 3)).astype(
-        np.float32
-    )
-    past_h /= np.linalg.norm(past_h, axis=-1, keepdims=True)
-
-    t0 = time.time()
-    oracle.oracle_predict(params_np, cfg.model, past_h[:256])
-    cpu_thr = 256 / (time.time() - t0)
-    log(f"cpu oracle: {cpu_thr:,.0f} traj/s")
-    _result["error"] = "no TPU tier completed"
-
-    # ---- First TPU contact, with one retry.
     import jax
     import jax.numpy as jnp
 
-    from longterm360fov_tpu import windows
+    from longterm360fov_tpu import oracle, windows
+    from longterm360fov_tpu.config import get_preset
     from longterm360fov_tpu.models import seq2seq as S
+    from longterm360fov_tpu.utils import flops as F
 
-    def to_device():
-        p = jax.tree.map(jnp.asarray, params_np)
-        x = jnp.asarray(past_h)
-        jax.block_until_ready(x)
-        return p, x
-
-    try:
-        params, past = to_device()
-    except Exception as e:  # one retry: transient relay error
-        log(f"device transfer failed ({type(e).__name__}: {e}); retrying")
-        time.sleep(5)
-        params, past = to_device()
-    log("params+batch on device")
+    cfg = get_preset("seq2seq-tf-30")
+    params_np = oracle.init_params_np(0, cfg.model)
+    rng = np.random.default_rng(0)
+    max_batch = max(TIERS[n][1] for n in tier_names)
+    past_h = rng.normal(size=(max_batch, cfg.model.h_in, 3)).astype(
+        np.float32
+    )
+    past_h /= np.linalg.norm(past_h, axis=-1, keepdims=True)
+    params = jax.tree.map(jnp.asarray, params_np)
+    past = jnp.asarray(past_h)
+    log("child: params+batch on device")
 
     def make_xla(dtype_name):
-        import dataclasses
-
         mcfg = dataclasses.replace(cfg.model, param_dtype=dtype_name)
 
         @jax.jit
@@ -161,13 +140,14 @@ def main():
         pred_n = S.serve_fused(p, cfg.model, past_n)
         return windows.denormalize_window(pred_n, anchor, to_sphere=True)
 
+    impls = {
+        "xla-f32": make_xla("float32"),
+        "xla-bf16": make_xla("bfloat16"),
+        "fused": serve_fused,
+    }
+
     def timed(fn, x, n):
-        """Run n iters and return wall time INCLUDING a data-dependent
-        scalar fetch of the last output. block_until_ready is NOT a
-        reliable barrier over the axon relay (measured 40x inflation on
-        donated buffers in r2 and 1000x on fresh outputs in r3 — the
-        relay signals completion asynchronously); fetching a reduction
-        of the output forces real completion of the whole chain."""
+        # data-dependent barrier: block_until_ready lies over the relay
         t0 = time.time()
         out = None
         for _ in range(n):
@@ -175,57 +155,104 @@ def main():
         float(jnp.sum(out))
         return time.time() - t0
 
-    def run_tier(name, fn, batch):
+    for name in tier_names:
+        impl, batch, _ = TIERS[name]
+        fn = impls[impl]
         x = past[:batch]
-        t0 = time.time()
-        t_warm = timed(fn, x, 1)  # compile + first run
-        log(f"[{name}] compile+run1: {t_warm:.1f}s")
-        # difference method: t(1+N) - t(1) cancels dispatch/fetch
-        # overheads that are constant in N
+        t_warm = timed(fn, x, 1)
+        log(f"child [{name}] compile+run1: {t_warm:.1f}s")
         t1 = timed(fn, x, 1)
         t2 = timed(fn, x, 1 + ITERS)
         thr = batch * ITERS / max(t2 - t1, 1e-9)
-        log(f"[{name}] {thr:,.0f} traj/s (t1={t1:.3f}s t2={t2:.3f}s)")
-        # physical-plausibility guard: the decode cannot exceed the
-        # chip's bf16 matmul peak; a reading above 60% MFU means the
-        # barrier lied — never record an impossible number
-        if thr * _result["model_flops"] > 0.6 * F.V5E_BF16_PEAK:
-            log(f"[{name}] REJECTED: implies >60% MFU, barrier not honest")
-            return
-        if thr > _result["value"]:
-            _result.update(
-                value=thr, vs_baseline=thr / cpu_thr, error=None, tier=name
-            )
-
-    tiers = [
-        # (name, fn, batch, skip-if-remaining-below)
-        ("xla-f32-b4096", make_xla("float32"), BATCH_FIRST, 10),
-        ("xla-bf16-b16384", make_xla("bfloat16"), BATCH_XLA, 20),
-        ("fused-f32-b262144", serve_fused, BATCH_FUSED, FUSED_MIN_BUDGET_S),
-    ]
-    for name, fn, batch, min_budget in tiers:
-        if remaining() < min_budget and _result["value"] > 0:
-            log(f"[{name}] skipped ({remaining():.0f}s left < {min_budget}s)")
+        log(f"child [{name}] {thr:,.0f} traj/s")
+        # plausibility guard: >60% of the bf16 MXU peak means the
+        # barrier lied — never report an impossible number
+        if thr * F.decode_flops(cfg) > 0.6 * F.V5E_BF16_PEAK:
+            log(f"child [{name}] REJECTED: implies >60% MFU")
             continue
-        for attempt in (1, 2):
-            try:
-                run_tier(name, fn, batch)
-                break
-            except Exception as e:
-                log(
-                    f"[{name}] attempt {attempt} failed: "
-                    f"{type(e).__name__}: {str(e)[:200]}"
+        print(json.dumps({"tier": name, "value": thr}), flush=True)
+
+
+# ---------------------------------------------------------------------------
+# parent: CPU oracle + child orchestration; never touches the TPU
+# ---------------------------------------------------------------------------
+
+
+def run_child(tier_names, timeout_s):
+    """Launch a child for the given tiers; harvest tier lines even if
+    it has to be killed (lines are flushed as soon as measured)."""
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--child",
+         ",".join(tier_names)],
+        stdout=subprocess.PIPE,
+        stderr=sys.stderr,
+        text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    try:
+        out, _ = proc.communicate(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        log(f"child {tier_names} timed out after {timeout_s:.0f}s; killing")
+        proc.kill()
+        out, _ = proc.communicate()
+    rows = []
+    for line in (out or "").splitlines():
+        try:
+            rows.append(json.loads(line))
+        except ValueError:
+            continue
+    return rows
+
+
+def main():
+    signal.signal(signal.SIGALRM, emit_and_exit)
+    signal.alarm(DEADLINE_S)
+
+    # ---- CPU oracle: pure numpy, zero TPU/relay contact
+    from longterm360fov_tpu import oracle
+    from longterm360fov_tpu.config import get_preset
+    from longterm360fov_tpu.utils import flops as F
+
+    cfg = get_preset("seq2seq-tf-30")
+    _result["model_flops"] = F.decode_flops(cfg)
+    params_np = oracle.init_params_np(0, cfg.model)
+    rng = np.random.default_rng(0)
+    past_h = rng.normal(size=(256, cfg.model.h_in, 3)).astype(np.float32)
+    past_h /= np.linalg.norm(past_h, axis=-1, keepdims=True)
+    t0 = time.time()
+    oracle.oracle_predict(params_np, cfg.model, past_h)
+    cpu_thr = 256 / (time.time() - t0)
+    log(f"cpu oracle: {cpu_thr:,.0f} traj/s")
+    _result["error"] = "no TPU tier completed"
+
+    def absorb(rows):
+        for r in rows:
+            if r.get("value", 0) > _result["value"]:
+                _result.update(
+                    value=r["value"],
+                    vs_baseline=r["value"] / cpu_thr,
+                    error=None,
+                    tier=r["tier"],
                 )
-                if _result["value"] == 0.0:
-                    _result["error"] = f"{name}: {type(e).__name__}"
-                if attempt == 1 and remaining() > min_budget:
-                    time.sleep(3)
-                else:
-                    break
+
+    rows = run_child(CHILD_A, min(440, max(remaining() - 40, 60)))
+    absorb(rows)
+    done = {r.get("tier") for r in rows}
+    missing = [n for n in CHILD_A if n not in done]
+    if missing and remaining() > 120:
+        # the session wedged partway — a FRESH child gets a fresh relay
+        # session; go straight for the most valuable missing tier, or
+        # the cheapest one if nothing at all landed
+        target = missing[-1] if done else missing[0]
+        log(f"missing tiers {missing}; fresh child for {target}")
+        absorb(run_child([target], max(remaining() - 20, 30)))
 
     signal.alarm(0)
     emit_and_exit()
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--child":
+        child_main(sys.argv[2].split(","))
+    else:
+        main()
