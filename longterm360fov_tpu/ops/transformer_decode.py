@@ -369,30 +369,44 @@ def _decode_kernel(
         # aligned slice [s, s+span) covering [t-w, t+w] within the
         # segment: align-down loses < gran rows, span absorbs them
         s0 = jnp.maximum(t - w, 0)
-        s = jnp.minimum((s0 // gran) * gran, peer_t_seg - span)
+        # pl.multiple_of: prove the dynamic start is gran-aligned —
+        # without the hint Mosaic's compile helper crashes on the
+        # packed-bf16 sublane slice (span and peer_t_seg - span are
+        # both gran multiples, so s genuinely is too)
+        s = pl.multiple_of(
+            jnp.minimum((s0 // gran) * gran, peer_t_seg - span), gran
+        )
         q4 = (q * scale).reshape(N_HEADS, head, 1, tile_b)
-        ks, vs, valids = [], [], []
         time_ids = lax.broadcasted_iota(jnp.int32, (span, tile_b), 0)
+        # online softmax over the K per-peer window slices — the same
+        # accumulator pattern as attend_peer_chunked (a concatenate of
+        # the dynamic slices crashed the Mosaic compile helper)
+        m_run = jnp.full((N_HEADS, 1, tile_b), -1e30, jnp.float32)
+        l_run = jnp.zeros((N_HEADS, 1, tile_b), jnp.float32)
+        acc = jnp.zeros((N_HEADS, head, tile_b), jnp.float32)
         for k in range(n_peers):
             off = k * peer_t_seg
-            ks.append(peer_ks[layer_idx][:, pl.ds(off + s, span), :])
-            vs.append(peer_vs[layer_idx][:, pl.ds(off + s, span), :])
+            k4 = peer_ks[layer_idx][:, pl.ds(off + s, span), :].reshape(
+                N_HEADS, head, span, tile_b
+            )
+            v4 = peer_vs[layer_idx][:, pl.ds(off + s, span), :].reshape(
+                N_HEADS, head, span, tile_b
+            )
             pm = pmask_ref[pl.ds(off + s, span), :] > 0.0
-            tm = jnp.abs(time_ids + s - t) <= w
-            valids.append(jnp.logical_and(pm, tm))
-        k4 = jnp.concatenate(ks, axis=1).reshape(
-            N_HEADS, head, n_peers * span, tile_b
-        )
-        v4 = jnp.concatenate(vs, axis=1).reshape(
-            N_HEADS, head, n_peers * span, tile_b
-        )
-        valid = jnp.concatenate(valids, axis=0)  # (K*span, B)
-        logits = jnp.sum(q4 * k4.astype(jnp.float32), axis=1)
-        logits = jnp.where(valid[None], logits, -1e9)
-        m = jnp.max(logits, axis=1, keepdims=True)
-        wgt = jnp.exp(logits - m)
-        wgt = wgt / jnp.sum(wgt, axis=1, keepdims=True)
-        out = jnp.sum(wgt[:, None] * v4.astype(jnp.float32), axis=2)
+            valid = jnp.logical_and(pm, jnp.abs(time_ids + s - t) <= w)
+            logits = jnp.sum(q4 * k4.astype(jnp.float32), axis=1)
+            logits = jnp.where(valid[None], logits, -1e9)
+            m_new = jnp.maximum(
+                m_run, jnp.max(logits, axis=1, keepdims=True)
+            )
+            corr = jnp.exp(m_run - m_new)
+            wgt = jnp.exp(logits - m_new)
+            l_run = l_run * corr + jnp.sum(wgt, axis=1, keepdims=True)
+            acc = acc * corr + jnp.sum(
+                wgt[:, None] * v4.astype(jnp.float32), axis=2
+            )
+            m_run = m_new
+        out = acc / jnp.maximum(l_run, 1e-30)
         return out.reshape(hidden, tile_b)
 
     def attend_peer_streamed(q, layer_idx):
