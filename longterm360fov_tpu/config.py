@@ -133,7 +133,15 @@ def _presets() -> Dict[str, ExperimentConfig]:
         # depth also halves the serving rollout cost.
         "transformer-10s": ExperimentConfig(
             name="transformer-10s",
-            model=Seq2SeqConfig(d=3, hidden=128, layers=2, h_in=100, h_out=100),
+            model=Seq2SeqConfig(
+                d=3, hidden=128, layers=2, h_in=100, h_out=100,
+                # r3: ±8-frame windowed peer attention — at the
+                # 10-second horizon the temporal-locality bias both
+                # improves accuracy (16.55° vs the 16.98° r2 record,
+                # RESULTS.md) and cuts the VPU-bound peer attend so
+                # routed serving goes 18.6K → 28.5K traj/s
+                peer_window=8,
+            ),
             model_family="transformer",
             lr=1e-3,
             warmup_steps=300,

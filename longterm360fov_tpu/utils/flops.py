@@ -95,10 +95,19 @@ def transformer_decode_flops(cfg: ExperimentConfig) -> float:
         + t_in * 4.0 * h * h  # cross K,V projections (once)
     )
     if k_peers:
-        peer_tokens = k_peers * t_out
+        # r3 options shrink the peer track/attend (models/transformer):
+        # peer_pool="mean" pools K tracks into one; peer_window=w
+        # restricts each step's attend to the ±w temporal window
+        n_tracks = 1 if m.peer_pool == "mean" else k_peers
+        peer_tokens = n_tracks * t_out
+        attended = (
+            peer_tokens
+            if m.peer_window <= 0
+            else n_tracks * min(2 * m.peer_window + 1, t_out)
+        )
         dec += L * (
             t_out * 4.0 * h * h  # peer q + out projections per token
-            + attn_scores(t_out, peer_tokens)
+            + attn_scores(t_out, attended)
             + peer_tokens * 4.0 * h * h  # peer K,V projections (once)
         )
         io += peer_tokens * 2.0 * m.d * h  # peer token embedding

@@ -81,6 +81,14 @@ def variants(base, h=30):
             model=dataclasses.replace(l2, peer_window=8),
             lr=1e-3, warmup_steps=300, gc_weight=0.3,
             scheduled_sampling=True, ss_start=1.0, ss_end=0.5), True),
+        (nm("l2-peers-noise-w8"), base.replace(
+            model=dataclasses.replace(l2, peer_window=8),
+            lr=1e-3, warmup_steps=300,
+            scheduled_sampling=True, ss_start=1.0, ss_end=0.5), True),
+        (nm("l2-peers-noise-gc3-w12"), base.replace(
+            model=dataclasses.replace(l2, peer_window=12),
+            lr=1e-3, warmup_steps=300, gc_weight=0.3,
+            scheduled_sampling=True, ss_start=1.0, ss_end=0.5), True),
         (nm("l2-peers-noise-gc3"), base.replace(
             model=l2, lr=1e-3, warmup_steps=300, gc_weight=0.3,
             scheduled_sampling=True, ss_start=1.0, ss_end=0.5), True),

@@ -44,3 +44,29 @@ def test_known_value_pinned():
     (2*(3+128)*512 each) + 30 projections (2*128*3) = 8,071,680 — the
     number behind BASELINE.md's 66.9 TFLOP/s serve row."""
     assert F.decode_flops(get_preset("seq2seq-tf-30")) == 8_071_680
+
+
+def test_transformer_flops_window_and_pool_reduce():
+    """peer_window / peer_pool shrink the analytic attend FLOPs in the
+    right order: full > windowed > pooled+windowed; peerless least."""
+    import dataclasses
+
+    from longterm360fov_tpu.config import get_preset
+    from longterm360fov_tpu.utils import flops as F
+
+    base = get_preset("transformer-10s")
+    m0 = dataclasses.replace(base.model, peer_window=0)
+    full = F.decode_flops(dataclasses.replace(base, model=m0))
+    w8 = F.decode_flops(
+        dataclasses.replace(
+            base, model=dataclasses.replace(m0, peer_window=8)
+        )
+    )
+    pool = F.decode_flops(
+        dataclasses.replace(
+            base, model=dataclasses.replace(m0, peer_pool="mean")
+        )
+    )
+    nopeer = F.decode_flops(dataclasses.replace(base, n_other_users=0))
+    assert nopeer < pool < full
+    assert nopeer < w8 < full
