@@ -485,6 +485,12 @@ def serve_fused(
         compute_dtype = (
             jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
         )
+    # (bf16-casting the encoder/peer-token params measured NEUTRAL for
+    # routed serve time — XLA already handles these f32 dots well — so
+    # the pre-stages keep exact f32 params; project_kv in the kernel
+    # caller does cast its operands to compute_dtype, which halves the
+    # projected-K/V intermediate footprint.)
+    enc_params = params
     peer_mem = peer_valid = None
     peer_stream = False
     if other_future_n is not None:
@@ -515,10 +521,10 @@ def serve_fused(
                     other_future_n=other_future_n, other_mask=other_mask,
                 )
         peer_mem, peer_valid = _peer_tokens(
-            params, cfg, other_future_n, other_mask
+            enc_params, cfg, other_future_n, other_mask
         )
         peer_mem = peer_mem.astype(jnp.float32)
-    enc_mem = _encode(params, cfg, past_n)
+    enc_mem = _encode(enc_params, cfg, past_n)
     y0 = past_n[:, -1, :].astype(cfg.dtype)
     return fused_ar_decode(
         params, cfg, enc_mem, y0,

@@ -701,17 +701,26 @@ def fused_ar_decode(
     )
     def project_kv(mem, attn_key, t_pad):
         """(B, T, H) memory → (n_tiles, L, 2, H, t_pad, tile_b), the
-        per-tile contiguous feature-major DMA layout."""
+        per-tile contiguous feature-major DMA layout. In the bf16 tier
+        both dot operands are bf16 (single MXU pass) and the K/V
+        intermediates are cast at creation so the big relayout
+        transposes move half the bytes (this XLA pre-stage was 25% of
+        routed serve time at b16384/30f — r3)."""
+        mem = mem.astype(compute_dtype)
         kvs = []
         for layer in params["dec"]:
             p = layer[attn_key]
-            k = jnp.dot(mem, p["wk"],
-                        preferred_element_type=jnp.float32, precision=prec)
-            v = jnp.dot(mem, p["wv"],
-                        preferred_element_type=jnp.float32, precision=prec)
+            wk = p["wk"].astype(compute_dtype)
+            wv = p["wv"].astype(compute_dtype)
+            k = jnp.dot(mem, wk,
+                        preferred_element_type=jnp.float32,
+                        precision=prec).astype(compute_dtype)
+            v = jnp.dot(mem, wv,
+                        preferred_element_type=jnp.float32,
+                        precision=prec).astype(compute_dtype)
             kvs.append(jnp.stack([k, v]))  # (2, B, T, H)
         kv = jnp.stack(kvs)  # (L, 2, B, T, H)
-        kv = jnp.transpose(kv, (0, 1, 4, 3, 2)).astype(compute_dtype)
+        kv = jnp.transpose(kv, (0, 1, 4, 3, 2))
         kv = jnp.pad(
             kv, ((0, 0), (0, 0), (0, 0), (0, t_pad - mem.shape[1]), (0, 0))
         )
