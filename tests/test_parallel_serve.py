@@ -76,3 +76,28 @@ def test_indivisible_batch_raises():
     sharded = make_sharded_predict_fn(params, cfg, fam.apply, mesh)
     with pytest.raises(ValueError, match="not divisible"):
         sharded(_batch(cfg, 12))
+
+
+def test_sharding_invariance_transformer_windowed():
+    """The adopted transformer-10s recipe (windowed peers) serves
+    sharding-invariantly through the fused route on the 8-device mesh."""
+    cfg = get_preset(
+        "transformer-10s", model_h_in=6, model_h_out=8, model_layers=1,
+    )
+    assert cfg.model.peer_window == 8  # preset recipe flows
+    fam = get_family(cfg.model_family)
+    params = fam.init(jax.random.PRNGKey(3), cfg.model)
+    batch = _batch(cfg, 16, with_peers=True, seed=3)
+
+    single = infer.make_predict_fn(
+        params, cfg, fam.apply, impl="fused", extras_fn=fam.batch_extras
+    )
+    ref = single(batch)
+
+    mesh = PM.make_mesh()
+    sharded = make_sharded_predict_fn(
+        params, cfg, fam.apply, mesh, impl="fused",
+        extras_fn=fam.batch_extras,
+    )
+    out = sharded(batch)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
