@@ -125,6 +125,12 @@ def _build_parser() -> argparse.ArgumentParser:
     st.add_argument("--traces", help="trace dir; synthetic store if omitted")
     st.add_argument("--dataset-format", default="auto")
     st.add_argument("--deadlines", default="1,10,30")
+    st.add_argument(
+        "--peers", type=int, default=-1,
+        help="cross-viewer context size K in the simulation (peers = "
+        "other simulated viewers' known futures, the on-demand "
+        "scenario); -1 = the preset's K for peer-consuming families",
+    )
     st.add_argument("--fov", type=float, default=90.0)
     st.add_argument("--impl", default="xla", choices=("xla", "fused"))
 
@@ -524,11 +530,16 @@ def cmd_stream_sim(args):
             n_users=8, n_videos=1, n_frames=600, rate_hz=cfg.rate_hz,
             seed=cfg.seed + 1,
         )
+    extras = getattr(fam, "batch_extras", None)
+    n_peers = args.peers
+    if n_peers < 0:  # auto: preset K for peer-consuming families
+        n_peers = cfg.n_other_users if extras is not None else 0
     res = infer.stream_simulation(
         state.params, cfg, fam.apply,
         [t.xyz for t in store.traces],
         deadlines=tuple(int(x) for x in args.deadlines.split(",")),
         fov_deg=args.fov, impl=args.impl,
+        extras_fn=extras, n_peers=n_peers,
     )
     print(json.dumps(res))
 

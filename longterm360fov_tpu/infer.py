@@ -221,6 +221,7 @@ def stream_simulation(
     fov_deg: float = 90.0,
     impl: str = "xla",
     extras_fn=None,
+    n_peers: int = 0,
 ):
     """Continuous streaming simulation (SURVEY.md §3.3, the production
     loop): at every tick each viewer's last H_in observed frames go in,
@@ -246,6 +247,12 @@ def stream_simulation(
 
     deadlines = tuple(int(d) for d in deadlines)
     max_d = max(deadlines)
+    if n_peers:
+        if n_peers >= n_view:
+            raise ValueError(
+                f"n_peers {n_peers} needs at least {n_peers + 1} viewers"
+            )
+        max_d = max(max_d, h_out)  # peer futures span the horizon
     n_ticks = t_total - max_d - h_in
     if n_ticks <= 0:
         raise ValueError(
@@ -264,7 +271,20 @@ def stream_simulation(
             past = jax.lax.dynamic_slice(
                 stack_d, (0, t - h_in, 0), (n_view, h_in, 3)
             )
-            pred = serve(past)  # (V, h_out, 3)
+            if n_peers:
+                fut_all = jax.lax.dynamic_slice(
+                    stack_d, (0, t, 0), (n_view, h_out, 3)
+                )
+                peers = jnp.stack(
+                    [
+                        jnp.roll(fut_all, -(k + 1), axis=0)
+                        for k in range(n_peers)
+                    ],
+                    axis=1,
+                )  # (V, K, h_out, 3) — other viewers' known futures
+                pred = serve({"past": past, "other_future": peers})
+            else:
+                pred = serve(past)  # (V, h_out, 3)
             mask = tiles_for_fov(
                 pred, tile_rows=tile_rows, tile_cols=tile_cols,
                 fov_deg=fov_deg,

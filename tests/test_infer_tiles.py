@@ -80,3 +80,50 @@ def test_stream_simulation():
     assert all(0.0 <= v <= 1.0 for v in hr.values())
     # near-term deadline should be at least as easy as the far one
     assert hr["1"] >= hr["5"] - 0.05
+
+
+def test_stream_simulation_with_peers():
+    """On-demand streaming sim: peer-conditioned predictions (other
+    simulated viewers' known futures) flow through the one-program
+    scan; K=0 preserves the original behavior."""
+    import jax
+
+    from longterm360fov_tpu import infer, traces
+    from longterm360fov_tpu.config import get_preset
+    from longterm360fov_tpu.models import get_family
+
+    cfg = get_preset(
+        "stacked-ss-crossuser", model_h_in=6, model_h_out=6,
+        model_layers=1, model_hidden=32, model_ctx_dim=8,
+    )
+    fam = get_family(cfg.model_family)
+    params = fam.init(jax.random.PRNGKey(0), cfg.model)
+    store = traces.synthetic_store(
+        n_users=4, n_videos=1, n_frames=80, rate_hz=10.0, seed=1
+    )
+    tr = [t.xyz for t in store.traces]
+
+    res0 = infer.stream_simulation(
+        params, cfg, fam.apply, tr, deadlines=(1, 5),
+        extras_fn=fam.batch_extras, n_peers=0,
+    )
+    res2 = infer.stream_simulation(
+        params, cfg, fam.apply, tr, deadlines=(1, 5),
+        extras_fn=fam.batch_extras, n_peers=2,
+    )
+    for res in (res0, res2):
+        assert set(res["hit_rate_by_deadline"]) == {"1", "5"}
+        for v in res["hit_rate_by_deadline"].values():
+            assert 0.0 <= v <= 1.0
+    # peer context actually changes the served predictions
+    assert res0["mean_tiles_per_frame"] != res2["mean_tiles_per_frame"] or (
+        res0["hit_rate_by_deadline"] != res2["hit_rate_by_deadline"]
+    )
+
+    import pytest
+
+    with pytest.raises(ValueError, match="needs at least"):
+        infer.stream_simulation(
+            params, cfg, fam.apply, tr, deadlines=(1,),
+            extras_fn=fam.batch_extras, n_peers=4,
+        )
