@@ -455,11 +455,21 @@ def serve_fused(
     other_mask: Optional[jax.Array] = None,
     tile_b: int = 128,
     compute_dtype=None,
+    fused_encoder: bool = True,
 ) -> jax.Array:
     """Serving AR decode through the fused whole-horizon Pallas kernel
-    (ops.transformer_decode): encoder runs as one XLA parallel pass,
-    then the entire rollout — all layers, self+cross(+peer) attention
-    with VMEM-resident KV caches, MLPs, feedback — is ONE kernel.
+    (ops.transformer_decode): for short pasts (T ≤ 64,
+    encode_kernel_fits) the encoder runs as a fused Pallas pass
+    (ops.transformer_encode — the XLA encoder lowers its per-viewer
+    (T×T) attention to ~65K tiny batched matmuls; the feature-major
+    kernel keeps the projections full-width on the MXU and does the
+    mixing as VPU reductions: routed transformer-30 serve 119.7K →
+    137.4K traj/s at b4096, r3 probe), longer pasts keep the XLA
+    parallel pass (its 128-padded matmuls are already efficient at
+    T=100 and the kernel's unrolled attend compiles pathologically
+    there). Then the entire rollout — all layers, self+cross(+peer)
+    attention with VMEM-resident KV caches, MLPs, feedback — is ONE
+    kernel.
 
     Peer (cross-viewer) attention tiers, routed by resident footprint:
 
@@ -524,7 +534,15 @@ def serve_fused(
             enc_params, cfg, other_future_n, other_mask
         )
         peer_mem = peer_mem.astype(jnp.float32)
-    enc_mem = _encode(enc_params, cfg, past_n)
+    from ..ops.transformer_encode import encode_kernel_fits, fused_encode_tokens
+
+    if fused_encoder and encode_kernel_fits(past_n.shape[1]):
+        enc_mem = fused_encode_tokens(
+            enc_params, cfg, past_n, tile_b=tile_b,
+            compute_dtype=compute_dtype,
+        )
+    else:
+        enc_mem = _encode(enc_params, cfg, past_n)
     y0 = past_n[:, -1, :].astype(cfg.dtype)
     return fused_ar_decode(
         params, cfg, enc_mem, y0,

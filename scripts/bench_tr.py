@@ -53,6 +53,11 @@ def main():
                     help="measure models.transformer.serve_fused (tier "
                     "routing incl. streamed/XLA fallbacks) instead of "
                     "the kernel directly")
+    ap.add_argument("--no-fused-encoder", action="store_true",
+                    help="routed mode: run the encoder as the XLA "
+                    "parallel pass instead of the fused Pallas kernel")
+    ap.add_argument("--no-peers", action="store_true",
+                    help="routed mode: drop the peer context entirely")
     ap.add_argument("--out", default="bench_tr.jsonl")
     args = ap.parse_args()
 
@@ -128,12 +133,16 @@ def main():
         # remote_compile rejects the payload with HTTP 413 (~100s of MB
         # — enc is 210 MB, peer_mem 839 MB at b4096/100f)
         if args.routed:
+            if args.no_peers:
+                peers = False
+
             def run_impl(params, past, others, mask, kw=kw):
                 del kw
                 return TR.serve_fused(
                     params, cfg, past,
                     other_future_n=others, other_mask=mask,
                     compute_dtype=cdt,
+                    fused_encoder=not args.no_fused_encoder,
                 )
 
             jitted = jax.jit(run_impl)
@@ -162,6 +171,9 @@ def main():
                 "layers": args.layers, "peers": args.peers if peers else 0,
                 "dtype": args.dtype, "routed": bool(args.routed),
                 "window": args.window,
+                "fused_encoder": bool(
+                    args.routed and not args.no_fused_encoder
+                ),
                 "compile_s": round(t_c, 1), "ms": round(t_i * 1e3, 1),
                 "traj_per_s": round(b / t_i, 1),
                 "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),

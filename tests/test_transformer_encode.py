@@ -1,0 +1,74 @@
+"""Fused transformer ENCODER kernel parity (SURVEY.md §4 "Kernel
+parity"): ops.transformer_encode.fused_encode_tokens vs the XLA
+parallel pass models.transformer._encode, plus the serve_fused wiring
+that routes the encoder through the kernel."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from longterm360fov_tpu.models import transformer as TR
+from longterm360fov_tpu.models.seq2seq import Seq2SeqConfig
+from longterm360fov_tpu.ops.transformer_encode import fused_encode_tokens
+
+
+def _setup(layers=2, h_in=6, b=8, seed=0):
+    cfg = Seq2SeqConfig(d=3, hidden=128, layers=layers, h_in=h_in, h_out=4)
+    params = TR.init(jax.random.PRNGKey(seed), cfg)
+    rng = np.random.default_rng(seed)
+    past = jnp.asarray(rng.normal(size=(b, h_in, 3)).astype(np.float32) * 0.1)
+    return cfg, params, past
+
+
+@pytest.mark.parametrize(
+    "layers,h_in,b",
+    [(1, 4, 8), (2, 6, 8), (2, 10, 16), (3, 30, 8)],
+)
+def test_fused_encode_parity(layers, h_in, b):
+    cfg, params, past = _setup(layers, h_in, b, seed=layers)
+    ref = TR._encode(params, cfg, past)
+    out = fused_encode_tokens(params, cfg, past, compute_dtype=jnp.float32)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=3e-5,
+        err_msg=f"fused encode mismatch L{layers} T{h_in}",
+    )
+
+
+def test_fused_encode_pad_independence():
+    """T_pad padding rows must not leak into valid positions (the
+    key-validity iota mask): T=6 (pads to 8) must equal T=6 exactly."""
+    cfg, params, past = _setup(layers=2, h_in=6, b=8, seed=7)
+    ref = TR._encode(params, cfg, past)
+    out = fused_encode_tokens(params, cfg, past, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+    # batch tiling must also be output-invariant
+    out_t = fused_encode_tokens(
+        params, cfg, past, tile_b=4, compute_dtype=jnp.float32
+    )
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(out), atol=1e-6)
+
+
+def test_fused_encode_bf16_close():
+    """bf16 single-pass tier drifts but stays close (same contract as
+    the decode kernel's bf16 tier)."""
+    cfg, params, past = _setup(layers=2, h_in=10, b=8, seed=4)
+    ref = TR._encode(params, cfg, past)
+    out = fused_encode_tokens(params, cfg, past, compute_dtype=jnp.bfloat16)
+    assert float(jnp.abs(out - ref).max()) < 0.08
+
+
+def test_serve_fused_uses_fused_encoder():
+    """serve_fused routes the encoder through the kernel by default and
+    stays at parity with the XLA AR decode reference."""
+    cfg, params, past = _setup(layers=2, h_in=6, b=8, seed=5)
+    ref = TR.apply(params, cfg, past)
+    out = TR.serve_fused(params, cfg, past, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+    out_xla_enc = TR.serve_fused(
+        params, cfg, past, compute_dtype=jnp.float32, fused_encoder=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_xla_enc), np.asarray(ref), atol=3e-5
+    )
