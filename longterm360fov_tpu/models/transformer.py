@@ -136,6 +136,14 @@ def _attention(p, q_in, kv_in, *, mask=None):
     return _attention_qkv(p, q, k, v, mask=mask)
 
 
+# NOTE (measured r3): a broadcast-multiply + VPU-reduce formulation of
+# the mixing below (no tiny batched matmuls) was tried for the TRAIN
+# pass and REJECTED on a same-process A/B/A/B of the real train step:
+# einsum 19.3/19.4 ms vs bcast 20.8/20.5 ms at transformer-30 b1024
+# (bench_tr.jsonl kind=step_ab). An earlier probe in a degraded-relay
+# window had shown bcast 1.44x faster — that was op-issue throttling,
+# not steady-state compute; in a healthy process XLA pipelines the
+# small batched matmuls fine (and at T=100 bcast loses 3.8x outright).
 def _attention_qkv(p, q, k, v, *, mask=None):
     scale = 1.0 / math.sqrt(q.shape[-1])
     logits = jnp.einsum("bnqd,bnkd->bnqk", q, k) * scale
@@ -463,8 +471,9 @@ def serve_fused(
     (ops.transformer_encode — the XLA encoder lowers its per-viewer
     (T×T) attention to ~65K tiny batched matmuls; the feature-major
     kernel keeps the projections full-width on the MXU and does the
-    mixing as VPU reductions: routed transformer-30 serve 119.7K →
-    137.4K traj/s at b4096, r3 probe), longer pasts keep the XLA
+    mixing as VPU reductions: routed transformer-30 serve 120.0K →
+    137.0K traj/s at b4096, same-process A/B/A/B r3 probe), longer
+    pasts keep the XLA
     parallel pass (its 128-padded matmuls are already efficient at
     T=100 and the kernel's unrolled attend compiles pathologically
     there). Then the entire rollout — all layers, self+cross(+peer)
