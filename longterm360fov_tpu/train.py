@@ -81,6 +81,7 @@ def make_train_step(
     extras_fn: Optional[Callable] = None,
     fused_tf_fn: Optional[Callable] = None,
     fused_ss_fn: Optional[Callable] = None,
+    gc_metric: bool = True,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -94,6 +95,16 @@ def make_train_step(
     optional (B,ctx)} and returns (state, metrics). Normalization happens
     INSIDE the step so it fuses with the model instead of being a
     separate HBM pass (SURVEY.md §1 L2).
+
+    ``gc_metric=False`` builds the FAST step: the per-step great-circle
+    training metric (denormalize→sphere→atan2 over every predicted
+    position) costs ~1.2 ms/step at b4096 on v5e — 30% of the
+    seq2seq-tf-30 step (measured r3, bench_tr.jsonl kind=lstm_glue3:
+    372 vs 261 steps/s) — so the train loop runs the fast step between
+    logging steps and the exact full step on them. ``metrics`` then
+    reports ``great_circle_deg`` as NaN (never consumed: only logged
+    steps are read). Parameter updates are bit-identical — the metric
+    is aux-only and never in the gradient path.
     """
 
     extras = extras_fn or default_extras
@@ -142,12 +153,21 @@ def make_train_step(
                 teacher_prob=teacher_prob,
                 **kwargs,
             )
-        pred_xyz = windows.denormalize_window(pred_n, anchor, to_sphere=True)
         true_xyz = batch["future"]
+        if gc_metric or cfg.gc_weight:
+            pred_xyz = windows.denormalize_window(
+                pred_n, anchor, to_sphere=True
+            )
+        else:
+            pred_xyz = None
         loss = losses.combined_loss(
             pred_n, future_n, pred_xyz, true_xyz, gc_weight=cfg.gc_weight
         )
-        gc_deg = losses.great_circle_deg_metric(pred_xyz, true_xyz)
+        gc_deg = (
+            losses.great_circle_deg_metric(pred_xyz, true_xyz)
+            if gc_metric
+            else jnp.float32(jnp.nan)
+        )
         return loss, gc_deg
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -294,6 +314,14 @@ def train_loop(
         cfg, apply_fn, optimizer, extras_fn=extras_fn,
         fused_tf_fn=fused_tf_fn, fused_ss_fn=fused_ss_fn,
     )
+    # fast twin without the great-circle train metric (~30% cheaper at
+    # b4096, see make_train_step docstring); the exact step runs on
+    # every logged step so the metrics stream is unchanged
+    step_fast = make_train_step(
+        cfg, apply_fn, optimizer, extras_fn=extras_fn,
+        fused_tf_fn=fused_tf_fn, fused_ss_fn=fused_ss_fn,
+        gc_metric=False,
+    )
     if state is None:
         state = init_state(cfg, init_fn, optimizer)
     it = batch_iterator(
@@ -317,8 +345,9 @@ def train_loop(
     t0 = time.time()
     for i in range(start_step, cfg.steps):
         batch = {k: jnp.asarray(v) for k, v in next(it).items()}
-        state, metrics = step_fn(state, batch)
-        if (i + 1) % cfg.eval_every == 0 or i + 1 == cfg.steps:
+        logged = (i + 1) % cfg.eval_every == 0 or i + 1 == cfg.steps
+        state, metrics = (step_fn if logged else step_fast)(state, batch)
+        if logged:
             m = {k: float(v) for k, v in metrics.items()}
             m["step"] = i + 1
             m["steps_per_sec"] = (i + 1 - start_step) / max(

@@ -125,10 +125,14 @@ def bench_train(cfg, fam, batch_n, steps):
     extras = getattr(fam, "batch_extras", None)
     opt = TR.make_optimizer(cfg)
     state = TR.init_state(cfg, fam.init, opt)
+    # gc_metric=False = the train loop's steady-state fast step (the
+    # exact step with the great-circle metric runs only on logged
+    # steps; r3 measured the metric tail at ~30% of the LSTM step)
     step = TR.make_train_step(
         cfg, fam.apply, opt, extras_fn=extras,
         fused_tf_fn=getattr(fam, "apply_fused_tf", None),
         fused_ss_fn=getattr(fam, "apply_fused_ss", None),
+        gc_metric=False,
     )
     host = make_batch(cfg, batch_n, with_future=True)
     batch = {k: jnp.asarray(v) for k, v in host.items()}

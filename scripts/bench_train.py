@@ -52,15 +52,23 @@ def main():
         )
         opt = T.make_optimizer(cfg)
         state = T.init_state(cfg, fam.init, opt)
-        step = jax.jit(
-            T.make_train_step(
-                cfg, fam.apply, opt,
-                extras_fn=getattr(fam, "batch_extras", None),
-                fused_tf_fn=getattr(fam, "apply_fused_tf", None),
-                fused_ss_fn=getattr(fam, "apply_fused_ss", None),
-            ),
-            donate_argnums=(0,),
-        )
+        def build(gc_metric):
+            return jax.jit(
+                T.make_train_step(
+                    cfg, fam.apply, opt,
+                    extras_fn=getattr(fam, "batch_extras", None),
+                    fused_tf_fn=getattr(fam, "apply_fused_tf", None),
+                    fused_ss_fn=getattr(fam, "apply_fused_ss", None),
+                    gc_metric=gc_metric,
+                ),
+                donate_argnums=(0,),
+            )
+
+        # steady-state clock = the FAST step (no per-step great-circle
+        # metric — the train loop only computes it on logged steps);
+        # the full step's rate is recorded alongside
+        step = build(False)
+        step_full = build(True)
 
         def run_steps(state, n):
             t0 = time.time()
@@ -76,11 +84,24 @@ def main():
         state, t1, _ = run_steps(state, 1)
         state, t2, loss = run_steps(state, 1 + args.steps)
         sps = args.steps / max(t2 - t1, 1e-9)
+
+        def run_full(state, n):
+            m = None
+            t0 = time.time()
+            for _ in range(n):
+                state, m = step_full(state, batch)
+            float(m["loss"])
+            return state, time.time() - t0
+        state, _ = run_full(state, 1)   # compile
+        state, tf1 = run_full(state, 1)
+        state, tf2 = run_full(state, 1 + args.steps)
+        sps_full = args.steps / max(tf2 - tf1, 1e-9)
         row = {
             "preset": args.preset, "batch": args.batch,
             "train_compute": tc,
             "compile_s": round(compile_s, 1),
             "steps_per_s": round(sps, 2),
+            "steps_per_s_full_metrics": round(sps_full, 2),
             "windows_per_s": round(sps * args.batch, 1),
             "train_flops": F.train_flops(base),
             "tflops_per_s": round(

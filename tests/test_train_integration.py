@@ -136,3 +136,41 @@ class TestResumeFastForward:
         # and the next batches continue in lockstep across an epoch edge
         for _ in range(10):
             np.testing.assert_array_equal(next(a)["past"], next(b)["past"])
+
+
+def test_fast_step_updates_match_full_step():
+    """make_train_step(gc_metric=False) — the train loop's between-logs
+    fast step — must produce BIT-IDENTICAL parameter updates to the
+    exact step (the metric is aux-only), and report gc_deg as NaN."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    store = traces.TraceStore()
+    store.add(traces.synthetic_trace(7, n_frames=200))
+    cfg = ExperimentConfig(
+        name="fast-step-test",
+        model=Seq2SeqConfig(d=3, hidden=32, layers=1, h_in=10, h_out=10),
+        batch_size=32,
+        steps=1,
+    )
+    tr, _ = D.windows_from_store(store, 10, 10, train_frac=0.9)
+    batch = {
+        "past": jnp.asarray(tr["past"][:32]),
+        "future": jnp.asarray(tr["future"][:32]),
+    }
+    opt = train.make_optimizer(cfg)
+    full = train.make_train_step(cfg, apply, opt)
+    fast = train.make_train_step(cfg, apply, opt, gc_metric=False)
+    s_full, m_full = full(train.init_state(cfg, init, opt), batch)
+    s_fast, m_fast = fast(train.init_state(cfg, init, opt), batch)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        s_full.params,
+        s_fast.params,
+    )
+    assert float(m_full["loss"]) == float(m_fast["loss"])
+    assert np.isfinite(float(m_full["great_circle_deg"]))
+    assert np.isnan(float(m_fast["great_circle_deg"]))
