@@ -171,6 +171,34 @@ def _mlp(p, x):
     return jnp.dot(h, p["w2"], preferred_element_type=jnp.float32) + p["b2"]
 
 
+# Routing flag for the differentiable fused-encoder kernel inside
+# apply() (train pass AND the XLA serve fallback). Module-level so
+# probes/tests can A/B; the auto gate additionally requires a real TPU
+# backend, T <= 64 (encode_kernel_fits — compile pathology above), and
+# exact-f32 params (the train tier has no bf16 mode). Default OFF:
+# the reverse kernel's Mosaic compile gets the relay's compile helper
+# OOM-killed (r3, three designs tried — see TODO.md); grads are
+# parity-tested in interpret mode and the flag stands ready for a
+# toolchain that can compile it.
+FUSED_TRAIN_ENCODER = False
+
+
+def _encode_auto(params, cfg, past_n):
+    from ..ops.transformer_encode import encode_kernel_fits
+
+    if (
+        FUSED_TRAIN_ENCODER
+        and jax.default_backend() == "tpu"
+        and encode_kernel_fits(past_n.shape[1])
+        and cfg.dtype == jnp.float32
+        and cfg.hidden % (2 * N_HEADS) == 0
+    ):
+        from ..ops.transformer_encode_train import fused_encode_train
+
+        return fused_encode_train(params, cfg, past_n)
+    return _encode(params, cfg, past_n)
+
+
 def _encode(params, cfg, past_n):
     x = (
         jnp.dot(past_n.astype(cfg.dtype), params["in_proj"])
@@ -314,7 +342,7 @@ def apply(
     which is what it faces during AR serving, while training stays one
     causal parallel pass."""
     del context
-    enc_mem = _encode(params, cfg, past_n)
+    enc_mem = _encode_auto(params, cfg, past_n)
     peer_mem = peer_valid = None
     if other_future_n is not None:
         peer_mem, peer_valid = _peer_tokens(

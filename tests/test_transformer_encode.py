@@ -72,3 +72,107 @@ def test_serve_fused_uses_fused_encoder():
     np.testing.assert_allclose(
         np.asarray(out_xla_enc), np.asarray(ref), atol=3e-5
     )
+
+
+class TestFusedEncodeTrain:
+    """Differentiable fused encoder (ops.transformer_encode_train):
+    forward parity + parameter-gradient parity vs jax.grad through the
+    XLA _encode, including the batch-tiled accumulation path."""
+
+    def _grads(self, encode_fn, params, cfg, past, cot):
+        import jax
+
+        def loss(p):
+            return jnp.sum(encode_fn(p, cfg, past) * cot)
+
+        return jax.grad(loss)(params)
+
+    @pytest.mark.parametrize("layers,h_in,b", [(1, 4, 8), (2, 6, 16)])
+    def test_forward_and_grad_parity(self, layers, h_in, b):
+        from longterm360fov_tpu.ops.transformer_encode_train import (
+            fused_encode_train,
+        )
+
+        cfg, params, past = _setup(layers, h_in, b, seed=10 + layers)
+        ref = TR._encode(params, cfg, past)
+        out = fused_encode_train(params, cfg, past)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=3e-5
+        )
+        rng = np.random.default_rng(3)
+        cot = jnp.asarray(
+            rng.normal(size=ref.shape).astype(np.float32)
+        )
+        g_ref = self._grads(
+            lambda p, c, x: TR._encode(p, c, x), params, cfg, past, cot
+        )
+        g_fused = self._grads(fused_encode_train, params, cfg, past, cot)
+        import jax
+
+        flat_r, _ = jax.tree.flatten_with_path(g_ref)
+        flat_f, _ = jax.tree.flatten_with_path(g_fused)
+        for (path_r, a), (_, bb) in zip(flat_r, flat_f):
+            scale = max(float(jnp.abs(a).max()), 1.0)
+            np.testing.assert_allclose(
+                np.asarray(bb), np.asarray(a), atol=2e-4 * scale,
+                err_msg=f"grad mismatch at {path_r}",
+            )
+
+    def test_grad_parity_tiled(self):
+        """Batch-tiled (grid > 1) accumulation must equal one tile."""
+        from longterm360fov_tpu.ops.transformer_encode_train import (
+            fused_encode_train,
+        )
+
+        cfg, params, past = _setup(2, 6, 16, seed=21)
+        rng = np.random.default_rng(4)
+        cot = jnp.asarray(
+            rng.normal(size=(16, 6, cfg.hidden)).astype(np.float32)
+        )
+        g1 = self._grads(
+            lambda p, c, x: fused_encode_train(p, c, x, tile_b=16),
+            params, cfg, past, cot,
+        )
+        g2 = self._grads(
+            lambda p, c, x: fused_encode_train(p, c, x, tile_b=8),
+            params, cfg, past, cot,
+        )
+        import jax
+
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-5
+            ),
+            g1,
+            g2,
+        )
+
+    def test_train_step_composition(self):
+        """Gradient through the FULL transformer train pass with the
+        fused encoder swapped in == the XLA encoder's gradients."""
+        import jax
+
+        from longterm360fov_tpu.ops.transformer_encode_train import (
+            fused_encode_train,
+        )
+
+        cfg, params, past = _setup(2, 6, 8, seed=30)
+        rng = np.random.default_rng(6)
+        fut = jnp.asarray(rng.normal(size=(8, 4, 3)).astype(np.float32) * 0.1)
+
+        def loss(p, encode_fn):
+            enc = encode_fn(p, cfg, past)
+            y0 = past[:, -1, :]
+            pred = TR._parallel_decode(p, cfg, enc, None, None, y0, fut)
+            return jnp.mean((pred - fut) ** 2)
+
+        g_ref = jax.grad(lambda p: loss(p, TR._encode))(params)
+        g_fused = jax.grad(lambda p: loss(p, fused_encode_train))(params)
+        flat_r, _ = jax.tree.flatten_with_path(g_ref)
+        flat_f, _ = jax.tree.flatten_with_path(g_fused)
+        for (path_r, a), (_, bb) in zip(flat_r, flat_f):
+            scale = max(float(jnp.abs(a).max()), 1e-3)
+            np.testing.assert_allclose(
+                np.asarray(bb), np.asarray(a), atol=3e-4 * scale,
+                err_msg=f"grad mismatch at {path_r}",
+            )
