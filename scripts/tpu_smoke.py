@@ -115,6 +115,38 @@ def main():
         ref=tref, atol=0.08,
     )
 
+    # transformer fused ENCODER (serving tier)
+    from longterm360fov_tpu.ops.transformer_encode import fused_encode_tokens
+
+    check(
+        "transformer_encode f32",
+        lambda: fused_encode_tokens(
+            tparams, tcfg, past, compute_dtype=jnp.float32
+        ),
+        ref=tenc, atol=5e-5,
+    )
+
+    # differentiable encoder tier (fwd-stash + reverse kernels); b=256
+    # exercises the cross-tile weight-grad accumulation on real Mosaic
+    from longterm360fov_tpu.ops.transformer_encode_train import (
+        fused_encode_train,
+    )
+
+    past256 = jnp.asarray(rng.normal(size=(256, 6, 3)).astype(np.float32) * 0.1)
+
+    def tloss_fused(p):
+        return jnp.mean(fused_encode_train(p, tcfg, past256) ** 2)
+
+    def tloss_ref(p):
+        return jnp.mean(TR._encode(p, tcfg, past256) ** 2)
+
+    with jax.default_matmul_precision("highest"):
+        tg_ref = jax.block_until_ready(jax.grad(tloss_ref)(tparams))
+    check(
+        "transformer_encode_train grads", jax.grad(tloss_fused), tparams,
+        ref=tg_ref, atol=5e-4,
+    )
+
     # encode-only tier (T4)
     from longterm360fov_tpu.ops.fused_lstm import fused_encode
 
