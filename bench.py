@@ -178,6 +178,40 @@ def child_main(tier_names):
 # ---------------------------------------------------------------------------
 
 
+def relay_tunnel_up():
+    """Advisory fast-fail probe: the axon TPU relay is a local port
+    tunnel (loopback ports forwarded over the tunnel daemon's stdio).
+    Parse the port list from the tunnel script itself and try a TCP
+    connect — if the daemon is dead (r3: it died mid-session and every
+    jax op then hangs forever), no port accepts and spending 500 s on
+    hung children is pointless. Returns None when unknowable (no
+    tunnel script — e.g. a future environment); only an explicit False
+    skips the TPU children."""
+    import re
+    import socket
+
+    try:
+        with open("/root/.tpu_init.py") as f:
+            src = f.read(4096)
+        m = re.search(r"PORTS\s*=\s*\[([0-9,\s]+)\]", src)
+        if not m:
+            return None
+        ports = [int(x) for x in m.group(1).split(",") if x.strip()]
+    except (OSError, ValueError):
+        return None
+    for p in ports:
+        s = socket.socket()
+        s.settimeout(0.5)
+        try:
+            s.connect(("127.0.0.1", p))
+            return True
+        except OSError:
+            continue
+        finally:
+            s.close()
+    return False
+
+
 def run_child(tier_names, timeout_s):
     """Launch a child for the given tiers; harvest tier lines even if
     it has to be killed (lines are flushed as soon as measured)."""
@@ -224,6 +258,13 @@ def main():
     cpu_thr = 256 / (time.time() - t0)
     log(f"cpu oracle: {cpu_thr:,.0f} traj/s")
     _result["error"] = "no TPU tier completed"
+
+    if relay_tunnel_up() is False:
+        log("relay tunnel DOWN (no relay port listening) — skipping "
+            "TPU children; emitting oracle-only result")
+        _result["error"] = "TPU relay tunnel down (no relay port listening)"
+        signal.alarm(0)
+        emit_and_exit()
 
     def absorb(rows):
         for r in rows:
