@@ -45,7 +45,6 @@ from ..models.seq2seq import Seq2SeqConfig
 from ._tiling import interpret as _interpret, pick_tile as _pick_tile, round_up as _round_up
 
 N_HEADS = 4
-MLP_MULT = 4
 
 __all__ = ["fused_encode_tokens", "encode_kernel_fits"]
 
@@ -129,7 +128,7 @@ def _encode_kernel(
     # (head, Tq_chunk, Tk, B) is the peak VMEM liveness of the attend —
     # unchunked at T=100 it is ~205 MB and the Mosaic register
     # allocator spills 241 MB (compile OOM, probed r3). Cap the product
-    # at ~4 MB; softmax needs full Tk rows so only Tq is chunked.
+    # at ~8 MB; softmax needs full Tk rows so only Tq is chunked.
     q_chunk = t_pad
     while (
         head * q_chunk * t_pad * tile_b * 4 > 8 * 1024 * 1024
@@ -183,6 +182,47 @@ def _encode_kernel(
     enc_ref[:] = x.astype(enc_ref.dtype)
 
 
+def pack_encoder_params(params):
+    """Pack the encoder params dict into the kernel layout — f32
+    stacks (w_in_t (H,D), attn_w (L,4,H,H) [wqT,wkT,wvT,woT],
+    mlp_w1 (L,4H,H), mlp_b1 (L,4H,1), mlp_w2 (L,H,4H), mlp_b2 (L,H,1),
+    ln_w (L,2,2,H,1)). Plain jnp (differentiable): shared by the
+    serving wrapper below and the custom-VJP train wrapper
+    (transformer_encode_train) so the layout cannot drift between
+    them. Casts to a serving compute dtype happen at the call site."""
+
+    def T(w):  # noqa: N802
+        return jnp.asarray(w, jnp.float32).T
+
+    attn_w, mlp_w1, mlp_b1, mlp_w2, mlp_b2, ln_w = [], [], [], [], [], []
+    for layer in params["enc"]:
+        a = layer["attn"]
+        attn_w.append(
+            jnp.stack([T(a["wq"]), T(a["wk"]), T(a["wv"]), T(a["wo"])])
+        )
+        mlp_w1.append(T(layer["mlp"]["w1"]))
+        mlp_b1.append(jnp.asarray(layer["mlp"]["b1"], jnp.float32)[:, None])
+        mlp_w2.append(T(layer["mlp"]["w2"]))
+        mlp_b2.append(jnp.asarray(layer["mlp"]["b2"], jnp.float32)[:, None])
+        ln_w.append(
+            jnp.stack(
+                [
+                    jnp.stack([layer["ln1"]["scale"], layer["ln1"]["bias"]]),
+                    jnp.stack([layer["ln2"]["scale"], layer["ln2"]["bias"]]),
+                ]
+            ).astype(jnp.float32)[..., None]  # (2, 2, H, 1)
+        )
+    return (
+        T(params["in_proj"]),
+        jnp.stack(attn_w),
+        jnp.stack(mlp_w1),
+        jnp.stack(mlp_b1),
+        jnp.stack(mlp_w2),
+        jnp.stack(mlp_b2),
+        jnp.stack(ln_w),
+    )
+
+
 def fused_encode_tokens(
     params: Dict,
     cfg: Seq2SeqConfig,
@@ -207,27 +247,9 @@ def fused_encode_tokens(
     tile_b = _pick_tile(b, tile_b)
     n_tiles = b // tile_b
 
-    def T(w):  # noqa: N802
-        return jnp.asarray(w, jnp.float32).T
-
-    attn_w, mlp_w1, mlp_b1, mlp_w2, mlp_b2, ln_w = [], [], [], [], [], []
-    for layer in params["enc"]:
-        a = layer["attn"]
-        attn_w.append(
-            jnp.stack([T(a["wq"]), T(a["wk"]), T(a["wv"]), T(a["wo"])])
-        )
-        mlp_w1.append(T(layer["mlp"]["w1"]))
-        mlp_b1.append(jnp.asarray(layer["mlp"]["b1"], jnp.float32)[:, None])
-        mlp_w2.append(T(layer["mlp"]["w2"]))
-        mlp_b2.append(jnp.asarray(layer["mlp"]["b2"], jnp.float32)[:, None])
-        ln_w.append(
-            jnp.stack(
-                [
-                    jnp.stack([layer["ln1"]["scale"], layer["ln1"]["bias"]]),
-                    jnp.stack([layer["ln2"]["scale"], layer["ln2"]["bias"]]),
-                ]
-            ).astype(jnp.float32)[..., None]  # (2, 2, H, 1)
-        )
+    (w_in_t, attn_w, mlp_w1, mlp_b1, mlp_w2, mlp_b2, ln_w) = (
+        pack_encoder_params(params)
+    )
 
     # feature-major input: (B, T, D) → (D, T_pad, B), batch-tiled
     x_t = jnp.transpose(past_n.astype(jnp.float32), (2, 1, 0))
@@ -251,7 +273,7 @@ def fused_encode_tokens(
             arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM
         )
 
-    inputs = [x_t, T(params["in_proj"]).astype(jnp.float32), pos]
+    inputs = [x_t, w_in_t, pos]
     in_specs = [
         pl.BlockSpec((d, t_pad, tile_b), lambda i: (0, 0, i),
                      memory_space=pltpu.VMEM),
@@ -259,12 +281,12 @@ def fused_encode_tokens(
         inv(pos),
     ]
     for arr in (
-        jnp.stack(attn_w).astype(compute_dtype),
-        jnp.stack(mlp_w1).astype(compute_dtype),
-        jnp.stack(mlp_b1),
-        jnp.stack(mlp_w2).astype(compute_dtype),
-        jnp.stack(mlp_b2),
-        jnp.stack(ln_w),
+        attn_w.astype(compute_dtype),
+        mlp_w1.astype(compute_dtype),
+        mlp_b1,
+        mlp_w2.astype(compute_dtype),
+        mlp_b2,
+        ln_w,
     ):
         inputs.append(arr)
         in_specs.append(inv(arr))

@@ -23,8 +23,9 @@ Design:
 * Weight gradients accumulate ACROSS batch tiles into outputs whose
   BlockSpec index map is constant: the TPU grid is sequential, so the
   accumulator block stays VMEM-resident; tile 0 zero-initializes.
-* Only parameter cotangents are produced (the encoder input is data,
-  never differentiated); x_t/pos get zero cotangents. The packing
+* Parameter cotangents AND the true input cotangent (d_x = W_inT g)
+  are produced; only `pos` gets a zero cotangent (it is generated from
+  constants in the wrapper, so JAX discards it). The packing
   (stack/transpose) happens OUTSIDE the custom_vjp boundary, so JAX
   transposes gradients back into the params dict automatically.
 * All reductions stay ≥2-D (rank-1 intermediates crash the Mosaic
@@ -52,7 +53,6 @@ from ._tiling import interpret as _interpret, pick_tile as _pick_tile, round_up 
 from .transformer_encode import _encode_kernel
 
 N_HEADS = 4
-MLP_MULT = 4
 _EPS = 1e-6
 _N_SAVED = 7  # x0, x1, h_in, q, k, v, att
 
@@ -261,8 +261,8 @@ def _reverse_kernel(
 ):
     """Reverse-only backward consuming the stash; accumulates weight
     grads across the (sequential) batch grid."""
-    (x_ref, attn_w, mlp_w1, mlp_b1, mlp_w2, ln_w, save_ref, g_ref,
-     d_w_in, d_attn, d_w1, d_b1, d_w2, d_b2, d_ln) = refs
+    (x_ref, w_in, attn_w, mlp_w1, mlp_b1, mlp_w2, ln_w, save_ref, g_ref,
+     d_x, d_w_in, d_attn, d_w1, d_b1, d_w2, d_b2, d_ln) = refs
     M = _make_math(t_in, t_pad, tile_b, hidden)  # noqa: N806
 
     pi = pl.program_id(0)
@@ -311,7 +311,12 @@ def _reverse_kernel(
         d_ln[l, 0, 0] += ds
         d_ln[l, 0, 1] += db
         g = g_x1 + g_x0_ln
-    d_w_in[...] += M.outer(g, x_ref[:].astype(jnp.float32))
+    xin = x_ref[:].astype(jnp.float32)
+    d_w_in[...] += M.outer(g, xin)
+    # true input cotangent (d = W_inT g): callers differentiating
+    # through past_n (input-sensitivity probes, learned frontends) get
+    # real gradients, not silent zeros
+    d_x[...] = M.mm_t(w_in[:], g)
 
 
 def _const_spec(arr):
@@ -404,9 +409,11 @@ def _core_bwd(static, res, g_enc):
         n_layers=n_layers, t_in=t_in, t_pad=t_pad, hidden=hidden, d=d,
         tile_b=tile_b,
     )
-    inputs = [x_t, attn_w, mlp_w1, mlp_b1, mlp_w2, ln_w, saves, g_enc]
+    inputs = [x_t, w_in, attn_w, mlp_w1, mlp_b1, mlp_w2, ln_w, saves,
+              g_enc]
     in_specs = [
         _tiled_spec((d, t_pad), tile_b),
+        _const_spec(w_in),
         _const_spec(attn_w),
         _const_spec(mlp_w1),
         _const_spec(mlp_b1),
@@ -416,6 +423,7 @@ def _core_bwd(static, res, g_enc):
         _tiled_spec((hidden, t_pad), tile_b),
     ]
     out_shapes = [
+        jax.ShapeDtypeStruct(x_t.shape, jnp.float32),
         jax.ShapeDtypeStruct(w_in.shape, jnp.float32),
         jax.ShapeDtypeStruct(attn_w.shape, jnp.float32),
         jax.ShapeDtypeStruct(mlp_w1.shape, jnp.float32),
@@ -424,8 +432,10 @@ def _core_bwd(static, res, g_enc):
         jax.ShapeDtypeStruct(mlp_b2.shape, jnp.float32),
         jax.ShapeDtypeStruct(ln_w.shape, jnp.float32),
     ]
-    out_specs = [_const_spec(s) for s in out_shapes]
-    d_w_in, d_attn, d_w1, d_b1, d_w2, d_b2, d_ln = pl.pallas_call(
+    out_specs = [_tiled_spec((d, t_pad), tile_b)] + [
+        _const_spec(s) for s in out_shapes[1:]
+    ]
+    d_x, d_w_in, d_attn, d_w1, d_b1, d_w2, d_b2, d_ln = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         out_shape=out_shapes,
@@ -435,7 +445,7 @@ def _core_bwd(static, res, g_enc):
         interpret=_interpret(),
     )(*inputs)
     return (
-        jnp.zeros_like(x_t),
+        d_x,
         d_w_in,
         jnp.zeros_like(pos),
         d_attn,
@@ -475,36 +485,18 @@ def fused_encode_train(
     t_pad = _round_up(t_in, 8)
     tile_b = _pick_tile(b, tile_b)
 
-    def T(w):  # noqa: N802
-        return jnp.asarray(w, jnp.float32).T
+    from .transformer_encode import pack_encoder_params
 
-    attn_w, mlp_w1, mlp_b1, mlp_w2, mlp_b2, ln_w = [], [], [], [], [], []
-    for layer in params["enc"]:
-        a = layer["attn"]
-        attn_w.append(
-            jnp.stack([T(a["wq"]), T(a["wk"]), T(a["wv"]), T(a["wo"])])
-        )
-        mlp_w1.append(T(layer["mlp"]["w1"]))
-        mlp_b1.append(jnp.asarray(layer["mlp"]["b1"], jnp.float32)[:, None])
-        mlp_w2.append(T(layer["mlp"]["w2"]))
-        mlp_b2.append(jnp.asarray(layer["mlp"]["b2"], jnp.float32)[:, None])
-        ln_w.append(
-            jnp.stack(
-                [
-                    jnp.stack([layer["ln1"]["scale"], layer["ln1"]["bias"]]),
-                    jnp.stack([layer["ln2"]["scale"], layer["ln2"]["bias"]]),
-                ]
-            ).astype(jnp.float32)[..., None]
-        )
-
+    (w_in_t, attn_w, mlp_w1, mlp_b1, mlp_w2, mlp_b2, ln_w) = (
+        pack_encoder_params(params)
+    )
     x_t = jnp.transpose(past_n.astype(jnp.float32), (2, 1, 0))
     x_t = jnp.pad(x_t, ((0, 0), (0, t_pad - t_in), (0, 0)))
     pos = _pos_enc(t_pad, h).T.astype(jnp.float32)
 
     static = (n_layers, t_in, t_pad, h, d, tile_b)
     enc = _encode_core(
-        static, x_t, T(params["in_proj"]), pos,
-        jnp.stack(attn_w), jnp.stack(mlp_w1), jnp.stack(mlp_b1),
-        jnp.stack(mlp_w2), jnp.stack(mlp_b2), jnp.stack(ln_w),
+        static, x_t, w_in_t, pos,
+        attn_w, mlp_w1, mlp_b1, mlp_w2, mlp_b2, ln_w,
     )
     return jnp.transpose(enc[:, :t_in, :], (2, 1, 0))[:b_orig]

@@ -171,8 +171,14 @@ def main():
                 "layers": args.layers, "peers": args.peers if peers else 0,
                 "dtype": args.dtype, "routed": bool(args.routed),
                 "window": args.window,
+                # what serve_fused actually routed: the kernel only
+                # runs for pasts <= 64 frames (encode_kernel_fits)
                 "fused_encoder": bool(
                     args.routed and not args.no_fused_encoder
+                    and __import__(
+                        "longterm360fov_tpu.ops.transformer_encode",
+                        fromlist=["encode_kernel_fits"],
+                    ).encode_kernel_fits(t)
                 ),
                 "compile_s": round(t_c, 1), "ms": round(t_i * 1e3, 1),
                 "traj_per_s": round(b / t_i, 1),

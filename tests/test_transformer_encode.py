@@ -43,11 +43,21 @@ def test_fused_encode_pad_independence():
     ref = TR._encode(params, cfg, past)
     out = fused_encode_tokens(params, cfg, past, compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
-    # batch tiling must also be output-invariant
-    out_t = fused_encode_tokens(
-        params, cfg, past, tile_b=4, compute_dtype=jnp.float32
+
+
+def test_fused_encode_batch_tiling_grid2():
+    """Batch tiling must be output-invariant with a REAL grid > 1:
+    pick_tile only returns 128-multiples (or the whole batch), so
+    b=256 with tile_b=128 is the smallest genuine 2-tile case."""
+    cfg, params, past = _setup(layers=2, h_in=6, b=256, seed=8)
+    out_1 = fused_encode_tokens(
+        params, cfg, past, tile_b=256, compute_dtype=jnp.float32
     )
-    np.testing.assert_allclose(np.asarray(out_t), np.asarray(out), atol=1e-6)
+    out_2 = fused_encode_tokens(
+        params, cfg, past, tile_b=128, compute_dtype=jnp.float32
+    )
+    np.testing.assert_allclose(np.asarray(out_2), np.asarray(out_1),
+                               atol=1e-6)
 
 
 def test_fused_encode_bf16_close():
@@ -119,29 +129,34 @@ class TestFusedEncodeTrain:
             )
 
     def test_grad_parity_tiled(self):
-        """Batch-tiled (grid > 1) accumulation must equal one tile."""
+        """Batch-tiled weight-grad ACCUMULATION (real grid > 1: b=256,
+        tile 128 — pick_tile only yields 128-multiples or the whole
+        batch) must equal the single-tile result; guards the pi==0
+        zero-init + '+=' path in _reverse_kernel."""
         from longterm360fov_tpu.ops.transformer_encode_train import (
             fused_encode_train,
         )
 
-        cfg, params, past = _setup(2, 6, 16, seed=21)
+        cfg, params, past = _setup(2, 6, 256, seed=21)
         rng = np.random.default_rng(4)
         cot = jnp.asarray(
-            rng.normal(size=(16, 6, cfg.hidden)).astype(np.float32)
+            rng.normal(size=(256, 6, cfg.hidden)).astype(np.float32)
         )
         g1 = self._grads(
-            lambda p, c, x: fused_encode_train(p, c, x, tile_b=16),
+            lambda p, c, x: fused_encode_train(p, c, x, tile_b=256),
             params, cfg, past, cot,
         )
         g2 = self._grads(
-            lambda p, c, x: fused_encode_train(p, c, x, tile_b=8),
+            lambda p, c, x: fused_encode_train(p, c, x, tile_b=128),
             params, cfg, past, cot,
         )
         import jax
 
+        # two-tile accumulation reassociates the f32 contraction:
+        # measured ~4e-5 absolute on ~10-magnitude grads (rel ~4e-6)
         jax.tree.map(
             lambda a, b: np.testing.assert_allclose(
-                np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-5
+                np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-4
             ),
             g1,
             g2,
@@ -176,3 +191,30 @@ class TestFusedEncodeTrain:
                 np.asarray(bb), np.asarray(a), atol=3e-4 * scale,
                 err_msg=f"grad mismatch at {path_r}",
             )
+
+
+    def test_input_grad_parity(self):
+        """d(loss)/d(past_n) through the custom VJP must match the XLA
+        encoder's input gradients (the reverse kernel emits the true
+        d_x = W_in^T g, not zeros)."""
+        import jax
+
+        from longterm360fov_tpu.ops.transformer_encode_train import (
+            fused_encode_train,
+        )
+
+        cfg, params, past = _setup(2, 6, 8, seed=40)
+        rng = np.random.default_rng(7)
+        cot = jnp.asarray(
+            rng.normal(size=(8, 6, cfg.hidden)).astype(np.float32)
+        )
+
+        def loss(x, encode_fn):
+            return jnp.sum(encode_fn(params, cfg, x) * cot)
+
+        g_ref = jax.grad(lambda x: loss(x, TR._encode))(past)
+        g_fused = jax.grad(lambda x: loss(x, fused_encode_train))(past)
+        scale = max(float(jnp.abs(g_ref).max()), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(g_fused), np.asarray(g_ref), atol=2e-4 * scale
+        )
