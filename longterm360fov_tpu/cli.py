@@ -134,6 +134,36 @@ def _build_parser() -> argparse.ArgumentParser:
     st.add_argument("--fov", type=float, default=90.0)
     st.add_argument("--impl", default="xla", choices=("xla", "fused"))
 
+    sd = sub.add_parser(
+        "serve-daemon",
+        help="online prediction server: line-JSON TCP, dynamic batching "
+        "over concurrent viewers, per-viewer pose sessions, prefetch "
+        "tile sets (the production counterpart of serve-bench)",
+    )
+    sd.add_argument("--preset", required=True)
+    group = sd.add_mutually_exclusive_group(required=True)
+    group.add_argument("--ckpt-dir", help="orbax checkpoint directory")
+    group.add_argument(
+        "--params", help="flat npz from `export` (numpy-only serving host)"
+    )
+    sd.add_argument("--host", default="127.0.0.1")
+    sd.add_argument("--port", type=int, default=8360)
+    sd.add_argument(
+        "--max-batch", type=int, default=256,
+        help="largest coalesced batch (bucket ladder caps here; "
+        "compiles once per power-of-two bucket)",
+    )
+    sd.add_argument(
+        "--max-wait-ms", type=float, default=2.0,
+        help="how long a lone request waits for co-arrivals",
+    )
+    sd.add_argument("--no-tiles", action="store_true",
+                    help="skip prefetch tile sets in responses")
+    sd.add_argument("--tile-rows", type=int, default=6)
+    sd.add_argument("--tile-cols", type=int, default=12)
+    sd.add_argument("--fov", type=float, default=90.0)
+    sd.add_argument("--impl", default="xla", choices=("xla", "fused"))
+
     ex = sub.add_parser(
         "export", help="checkpoint → flat npz for serving deployments"
     )
@@ -544,6 +574,54 @@ def cmd_stream_sim(args):
     print(json.dumps(res))
 
 
+def cmd_serve_daemon(args):
+    """Online serving: dynamic batching + sessions + tile prefetch over
+    line-JSON TCP (serving.py). Loads params from an orbax checkpoint or
+    a flat `export` npz (numpy-only hosts)."""
+    from . import serving
+    from . import train as TR
+    from .config import get_preset
+    from .models import get_family
+
+    cfg = get_preset(args.preset)
+    fam = get_family(cfg.model_family)
+    if args.params:
+        params = serving.load_exported_params(args.params, cfg, fam)
+    else:
+        opt = TR.make_optimizer(cfg)
+        ck = _open_checkpoint(args.ckpt_dir, cfg)
+        params = ck.restore(TR.init_state(cfg, fam.init, opt)).params
+    server = serving.serve_daemon(
+        params, cfg, fam,
+        host=args.host, port=args.port,
+        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        with_tiles=not args.no_tiles,
+        tile_rows=args.tile_rows, tile_cols=args.tile_cols,
+        fov_deg=args.fov, impl=args.impl,
+    )
+    print(
+        json.dumps(
+            {
+                "listening": f"{args.host}:{server.server_address[1]}",
+                "preset": cfg.name,
+                "h_in": cfg.model.h_in,
+                "h_out": cfg.model.h_out,
+                "extras": sorted(server.batcher.extra_specs),
+                "max_batch": args.max_batch,
+            }
+        ),
+        flush=True,
+    )
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        server.batcher.stop()
+        print(json.dumps(server.batcher.stats()), file=sys.stderr)
+
+
 def cmd_export(args):
     """Flatten a checkpoint's params into one npz (keys like
     'encoder.0.w') so serving hosts load with numpy alone — no orbax,
@@ -778,6 +856,7 @@ def main(argv=None):
         "eval": cmd_eval,
         "serve": cmd_serve,
         "stream-sim": cmd_stream_sim,
+        "serve-daemon": cmd_serve_daemon,
         "export": cmd_export,
         "serve-bench": cmd_serve_bench,
         "extract-features": cmd_extract_features,

@@ -1,0 +1,644 @@
+"""Online serving daemon: dynamic batching over concurrent viewers.
+
+The north-star deployment (SURVEY.md §3.3; BASELINE.json:5 "batched
+autoregressive decode over many concurrent viewers so a streaming
+server can prefetch tiles") is an *online* system: viewer head-pose
+updates arrive one at a time over the network, and the server must
+answer each with a fresh H_out-frame prediction + prefetch tile set.
+This module is that runtime:
+
+- :class:`DynamicBatcher` — coalesces concurrent requests into ONE
+  device dispatch. TPU-first shape discipline: batches are padded up a
+  power-of-two bucket ladder, so the jitted serve program compiles at
+  most ``log2(max_batch)+1`` times per process and every dispatch is a
+  statically-shaped XLA executable (no dynamic shapes, no recompiles in
+  steady state). Padding rows are copies of a real request row and are
+  sliced off before results are returned, so co-batching never changes
+  any viewer's answer (per-row independence; padding-invariance is
+  CI-tested).
+- :class:`ViewerSessions` — per-viewer rolling windows of the last
+  H_in poses, so clients can stream single poses ("push" op) instead of
+  resending whole windows.
+- :class:`FovServer` / :class:`FovClient` — a stdlib line-delimited
+  JSON TCP transport (no extra dependencies). Each connection handler
+  only parses/queues; ALL device work happens on the batcher's single
+  dispatcher thread (the one-TPU-process rule; see also
+  docs/serving_tiers.md).
+- :func:`load_exported_params` — loads the flat ``export`` npz back
+  into the family's params pytree, so serving hosts need numpy + jax
+  only (no orbax, no training deps).
+
+The device program is the whole serve path in one jit — normalize →
+encode → H_out-step autoregressive decode → denormalize → xyz→(yaw,
+pitch) → horizon-union prefetch mask — via either the XLA scan path or
+the family's fused Pallas serve kernel (``impl="fused"``,
+BASELINE.md tiers).
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import socket
+import socketserver
+import threading
+import time
+from collections import deque
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+__all__ = [
+    "DynamicBatcher",
+    "ViewerSessions",
+    "FovServer",
+    "FovClient",
+    "make_serve_fn",
+    "extra_specs_for",
+    "load_exported_params",
+    "serve_daemon",
+]
+
+
+# --------------------------------------------------------------------------
+# device program
+# --------------------------------------------------------------------------
+
+
+def make_serve_fn(
+    params,
+    cfg,
+    fam,
+    *,
+    with_tiles: bool = True,
+    tile_rows: int = 6,
+    tile_cols: int = 12,
+    fov_deg: float = 90.0,
+    impl: str = "xla",
+) -> Callable:
+    """One jitted program: batch dict → {"yaw", "pitch", ["prefetch"]}.
+
+    ``impl="fused"`` routes through the family's whole-request Pallas
+    serve kernel (the fastest tier, BASELINE.md); ``"xla"`` uses the
+    scan path. Either way the host sees exactly one dispatch per batch.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from . import geometry, infer, windows
+    from .train import default_extras
+
+    extras_fn = getattr(fam, "batch_extras", None) or default_extras
+    fused_entry = None
+    if impl == "fused":
+        fused_entry = getattr(fam, "serve_fused", None)
+        if fused_entry is None:
+            raise ValueError(
+                f"model family {cfg.model_family!r} has no fused serve tier"
+            )
+
+    def serve(batch):
+        past_n, _, anchor = windows.normalize_window(batch["past"])
+        kw = extras_fn(batch, anchor)
+        if fused_entry is not None:
+            pred_n = fused_entry(params, cfg.model, past_n, **kw)
+        else:
+            pred_n = fam.apply(params, cfg.model, past_n, None, **kw)
+        xyz = windows.denormalize_window(pred_n, anchor, to_sphere=True)
+        yaw, pitch = geometry.xyz_to_euler(xyz)
+        out = {"yaw": yaw, "pitch": pitch}
+        if with_tiles:
+            mask = infer.tiles_for_fov(
+                xyz, tile_rows=tile_rows, tile_cols=tile_cols, fov_deg=fov_deg
+            )  # (B, H_out, M)
+            # union over the horizon = this tick's prefetch set
+            out["prefetch"] = jnp.any(mask, axis=1)
+        return out
+
+    return jax.jit(serve)
+
+
+def extra_specs_for(cfg) -> Dict[str, Tuple[int, ...]]:
+    """Per-request extra-array schema for the preset's model family.
+
+    The daemon enforces ONE schema for every request (uniform pytree
+    structure → one jit cache entry per bucket size); requests that omit
+    an extra get zero-fill + a zero validity mask, which the families
+    define as exactly the no-context model (CI-tested equivalences)."""
+    fam = cfg.model_family
+    if fam in ("cross_user", "transformer") and cfg.n_other_users > 0:
+        k, t = cfg.n_other_users, cfg.model.h_out
+        return {"other_future": (k, t, 3), "other_mask": (k,)}
+    if fam == "fusion":
+        from .models.fusion import FEATURE_DIM
+
+        return {"features": (FEATURE_DIM,)}
+    return {}
+
+
+def load_exported_params(npz_path: str, cfg, fam):
+    """Rebuild the params pytree from an ``export``-ed flat npz.
+
+    Inverse of ``cli.cmd_export``: init a skeleton with the family's
+    ``init`` (structure + dtypes only), then replace every leaf by its
+    dotted-path key from the npz. Errors out on any missing/extra key —
+    a silent partial load would serve garbage predictions."""
+    import jax
+    import jax.numpy as jnp
+
+    skeleton = fam.init(jax.random.PRNGKey(0), cfg.model)
+    loaded = np.load(npz_path)
+    paths, treedef = jax.tree_util.tree_flatten_with_path(skeleton)
+    keys = []
+    leaves = []
+    for path, leaf in paths:
+        key = ".".join(
+            str(getattr(k, "key", getattr(k, "idx", getattr(k, "name", k))))
+            for k in path
+        )
+        if key not in loaded.files:
+            raise KeyError(
+                f"exported npz {npz_path!r} is missing param {key!r} — "
+                f"was it exported for preset {cfg.name!r}?"
+            )
+        arr = loaded[key]
+        if arr.shape != leaf.shape:
+            raise ValueError(
+                f"param {key!r}: npz shape {arr.shape} != model shape "
+                f"{leaf.shape} (wrong preset/architecture)"
+            )
+        keys.append(key)
+        leaves.append(jnp.asarray(arr, leaf.dtype))
+    extra = set(loaded.files) - set(keys)
+    if extra:
+        raise KeyError(f"exported npz has unknown params: {sorted(extra)}")
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+# --------------------------------------------------------------------------
+# dynamic batcher
+# --------------------------------------------------------------------------
+
+
+class _Pending:
+    __slots__ = ("arrays", "event", "result", "error", "t_submit")
+
+    def __init__(self, arrays):
+        self.arrays = arrays
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+        self.t_submit = time.monotonic()
+
+
+class DynamicBatcher:
+    """Coalesce concurrent single-viewer requests into bucketed batches.
+
+    One dispatcher thread owns the device: it drains the queue, waits up
+    to ``max_wait_ms`` for co-arrivals (classic latency/throughput
+    knob), pads the batch up the power-of-two bucket ladder, runs the
+    jitted ``serve_fn`` once, and distributes per-row results. Padding
+    replicates row 0 (real data → no NaN/denormal risk) and is sliced
+    off before delivery."""
+
+    def __init__(
+        self,
+        serve_fn: Callable,
+        *,
+        h_in: int,
+        extra_specs: Optional[Dict[str, Tuple[int, ...]]] = None,
+        max_batch: int = 256,
+        max_wait_ms: float = 2.0,
+    ):
+        if max_batch < 1:
+            raise ValueError("max_batch must be >= 1")
+        self._serve = serve_fn
+        self.h_in = int(h_in)
+        self.extra_specs = dict(extra_specs or {})
+        self.max_batch = int(max_batch)
+        self.max_wait_s = float(max_wait_ms) / 1e3
+        self._q: "queue.Queue[Optional[_Pending]]" = queue.Queue()
+        self._lock = threading.Lock()
+        # metrics
+        self.n_requests = 0
+        self.n_batches = 0
+        self.rows_padded = 0
+        self.rows_total = 0
+        self._latencies = deque(maxlen=2048)
+        self._thread = threading.Thread(
+            target=self._loop, name="fov-batcher", daemon=True
+        )
+        self._stopped = False
+        self._thread.start()
+
+    # -- client side --------------------------------------------------
+
+    def submit(self, past: np.ndarray, **extras) -> _Pending:
+        """Queue one request. ``past`` is (h_in, 3) xyz; extras follow
+        ``extra_specs`` (missing → zeros, and the mask — when the schema
+        has one — stays zero so the model sees "no context")."""
+        past = np.asarray(past, np.float32)
+        if past.shape != (self.h_in, 3):
+            raise ValueError(
+                f"past must be ({self.h_in}, 3) xyz, got {past.shape}"
+            )
+        arrays = {"past": past}
+        for name, shape in self.extra_specs.items():
+            given = extras.pop(name, None)
+            if given is None:
+                arrays[name] = np.zeros(shape, np.float32)
+            else:
+                given = np.asarray(given, np.float32)
+                if name == "other_future" and given.ndim == 3 and (
+                    given.shape[0] < shape[0]
+                ):
+                    # fewer peers than the preset's K → pad + let the
+                    # caller's mask (or our default) mark validity
+                    pad = np.zeros(
+                        (shape[0] - given.shape[0],) + shape[1:], np.float32
+                    )
+                    given = np.concatenate([given, pad], axis=0)
+                if given.shape != shape:
+                    raise ValueError(
+                        f"extra {name!r} must have shape {shape}, "
+                        f"got {given.shape}"
+                    )
+                arrays[name] = given
+        if extras:
+            raise ValueError(f"unknown extras: {sorted(extras)}")
+        # default mask: valid where a peer row is (any) nonzero
+        if (
+            "other_mask" in self.extra_specs
+            and not np.any(arrays["other_mask"])
+            and np.any(arrays.get("other_future", 0))
+        ):
+            arrays["other_mask"] = (
+                np.abs(arrays["other_future"]).max(axis=(1, 2)) > 0
+            ).astype(np.float32)
+        if self._stopped:
+            raise RuntimeError("batcher is stopped")
+        p = _Pending(arrays)
+        self._q.put(p)
+        return p
+
+    def predict(self, past: np.ndarray, timeout: float = 30.0, **extras):
+        """submit + wait: → dict of per-request numpy arrays."""
+        p = self.submit(past, **extras)
+        if not p.event.wait(timeout):
+            raise TimeoutError("prediction timed out")
+        if p.error is not None:
+            raise p.error
+        return p.result
+
+    # -- dispatcher ----------------------------------------------------
+
+    def _bucket(self, n: int) -> int:
+        b = 1
+        while b < n:
+            b *= 2
+        return min(b, self.max_batch)
+
+    def _loop(self):
+        while True:
+            first = self._q.get()
+            if first is None:
+                return
+            batch = [first]
+            deadline = time.monotonic() + self.max_wait_s
+            while len(batch) < self.max_batch:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=left)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._dispatch(batch)
+                    return
+                batch.append(nxt)
+            self._dispatch(batch)
+
+    def _dispatch(self, batch):
+        n = len(batch)
+        b = self._bucket(n)
+        try:
+            stacked = {}
+            for key in batch[0].arrays:
+                rows = [p.arrays[key] for p in batch]
+                if b > n:  # pad with copies of row 0 (sliced off below)
+                    rows += [rows[0]] * (b - n)
+                stacked[key] = np.stack(rows)
+            out = self._serve(stacked)
+            host = {k: np.asarray(v) for k, v in out.items()}
+            for i, p in enumerate(batch):
+                p.result = {k: v[i] for k, v in host.items()}
+                p.event.set()
+        except Exception as e:  # noqa: BLE001 — deliver to all waiters
+            for p in batch:
+                p.error = e
+                p.event.set()
+        now = time.monotonic()
+        with self._lock:
+            self.n_requests += n
+            self.n_batches += 1
+            self.rows_total += b
+            self.rows_padded += b - n
+            for p in batch:
+                self._latencies.append(now - p.t_submit)
+
+    def stats(self) -> Dict:
+        with self._lock:
+            lat = sorted(self._latencies)
+            pct = (
+                lambda q: round(lat[min(int(q * len(lat)), len(lat) - 1)] * 1e3, 3)
+                if lat
+                else None
+            )
+            return {
+                "requests": self.n_requests,
+                "batches": self.n_batches,
+                "mean_batch": round(self.n_requests / max(self.n_batches, 1), 2),
+                "pad_fraction": round(
+                    self.rows_padded / max(self.rows_total, 1), 4
+                ),
+                "latency_ms_p50": pct(0.50),
+                "latency_ms_p95": pct(0.95),
+                "latency_ms_p99": pct(0.99),
+            }
+
+    def stop(self):
+        if not self._stopped:
+            self._stopped = True
+            self._q.put(None)
+            self._thread.join(timeout=10)
+
+
+# --------------------------------------------------------------------------
+# per-viewer session state
+# --------------------------------------------------------------------------
+
+
+def _euler_to_xyz_np(yaw: float, pitch: float) -> np.ndarray:
+    cp = np.cos(pitch)
+    return np.array(
+        [cp * np.cos(yaw), cp * np.sin(yaw), np.sin(pitch)], np.float32
+    )
+
+
+class ViewerSessions:
+    """Rolling (h_in, 3) pose windows keyed by viewer id.
+
+    ``push`` accepts a pose as xyz ([x, y, z], renormalized) or as
+    radians ([yaw, pitch]) and returns the full window once h_in poses
+    have arrived, else None. Host-side numpy only — no device traffic
+    until a window is complete."""
+
+    def __init__(self, h_in: int, max_viewers: int = 100_000):
+        self.h_in = int(h_in)
+        self.max_viewers = int(max_viewers)
+        self._lock = threading.Lock()
+        self._buf: Dict[str, deque] = {}
+
+    def push(self, viewer: str, pose) -> Optional[np.ndarray]:
+        pose = np.asarray(pose, np.float32)
+        if pose.shape == (2,):
+            xyz = _euler_to_xyz_np(float(pose[0]), float(pose[1]))
+        elif pose.shape == (3,):
+            n = float(np.linalg.norm(pose))
+            if n < 1e-6:
+                raise ValueError("zero-norm xyz pose")
+            xyz = pose / n
+        else:
+            raise ValueError(
+                f"pose must be [yaw, pitch] or [x, y, z], got shape {pose.shape}"
+            )
+        with self._lock:
+            dq = self._buf.get(viewer)
+            if dq is None:
+                if len(self._buf) >= self.max_viewers:
+                    raise RuntimeError("viewer session table full")
+                dq = deque(maxlen=self.h_in)
+                self._buf[viewer] = dq
+            dq.append(xyz)
+            if len(dq) < self.h_in:
+                return None
+            return np.stack(tuple(dq))
+
+    def missing(self, viewer: str) -> int:
+        with self._lock:
+            dq = self._buf.get(viewer)
+            return self.h_in - (len(dq) if dq else 0)
+
+    def drop(self, viewer: str):
+        with self._lock:
+            self._buf.pop(viewer, None)
+
+    def __len__(self):
+        with self._lock:
+            return len(self._buf)
+
+
+# --------------------------------------------------------------------------
+# transport: line-delimited JSON over TCP
+# --------------------------------------------------------------------------
+
+
+class _Handler(socketserver.StreamRequestHandler):
+    def handle(self):
+        srv: "FovServer" = self.server  # type: ignore[assignment]
+        for raw in self.rfile:
+            raw = raw.strip()
+            if not raw:
+                continue
+            try:
+                req = json.loads(raw)
+                resp = srv.handle_request(req)
+            except Exception as e:  # noqa: BLE001 — protocol errors answer inline
+                rid = None
+                try:
+                    rid = json.loads(raw).get("id")
+                except Exception:  # noqa: BLE001
+                    pass
+                resp = {"id": rid, "error": f"{type(e).__name__}: {e}"}
+            self.wfile.write((json.dumps(resp) + "\n").encode())
+            self.wfile.flush()
+
+
+class FovServer(socketserver.ThreadingTCPServer):
+    """Line-JSON TCP front end over a :class:`DynamicBatcher`.
+
+    Ops (one JSON object per line, echoing "id"):
+      {"op": "predict", "id", "past": [[x,y,z] × h_in],
+       "other_future"?: [[...] × K], "other_mask"?: [K],
+       "features"?: [F]}                        → yaw/pitch (+ prefetch)
+      {"op": "push", "id", "viewer", "pose": [yaw,pitch]|[x,y,z]}
+                                                → prediction once the
+                                                  viewer's window fills,
+                                                  else {"pending": k}
+      {"op": "stats", "id"}                     → batcher + session stats
+      {"op": "drop", "id", "viewer"}            → forget a session
+    """
+
+    daemon_threads = True
+    allow_reuse_address = True
+
+    def __init__(
+        self,
+        addr: Tuple[str, int],
+        batcher: DynamicBatcher,
+        *,
+        request_timeout: float = 30.0,
+    ):
+        super().__init__(addr, _Handler)
+        self.batcher = batcher
+        self.sessions = ViewerSessions(batcher.h_in)
+        self.request_timeout = request_timeout
+        self.t_start = time.monotonic()
+
+    # -- ops ------------------------------------------------------------
+
+    def handle_request(self, req: Dict) -> Dict:
+        op = req.get("op", "predict")
+        rid = req.get("id")
+        if op == "predict":
+            extras = {
+                k: req[k]
+                for k in self.batcher.extra_specs
+                if req.get(k) is not None
+            }
+            res = self.batcher.predict(
+                np.asarray(req["past"], np.float32),
+                timeout=self.request_timeout,
+                **extras,
+            )
+            return self._prediction(rid, res)
+        if op == "push":
+            window = self.sessions.push(str(req["viewer"]), req["pose"])
+            if window is None:
+                return {
+                    "id": rid,
+                    "pending": self.sessions.missing(str(req["viewer"])),
+                }
+            res = self.batcher.predict(window, timeout=self.request_timeout)
+            return self._prediction(rid, res)
+        if op == "stats":
+            s = self.batcher.stats()
+            s.update(
+                {
+                    "id": rid,
+                    "sessions": len(self.sessions),
+                    "uptime_s": round(time.monotonic() - self.t_start, 1),
+                }
+            )
+            return s
+        if op == "drop":
+            self.sessions.drop(str(req["viewer"]))
+            return {"id": rid, "dropped": True}
+        raise ValueError(f"unknown op {op!r}")
+
+    @staticmethod
+    def _prediction(rid, res: Dict) -> Dict:
+        out = {
+            "id": rid,
+            "yaw": [round(float(v), 6) for v in res["yaw"]],
+            "pitch": [round(float(v), 6) for v in res["pitch"]],
+        }
+        if "prefetch" in res:
+            out["prefetch"] = [int(i) for i in np.nonzero(res["prefetch"])[0]]
+        return out
+
+
+class FovClient:
+    """Blocking line-JSON client (one in-flight request per connection;
+    open several clients — or threads with one client each — to exercise
+    server-side batching)."""
+
+    def __init__(self, host: str, port: int, timeout: float = 30.0):
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._rfile = self._sock.makefile("rb")
+        self._lock = threading.Lock()
+        self._next_id = 0
+
+    def request(self, obj: Dict) -> Dict:
+        with self._lock:
+            if "id" not in obj:
+                self._next_id += 1
+                obj = {**obj, "id": self._next_id}
+            self._sock.sendall((json.dumps(obj) + "\n").encode())
+            line = self._rfile.readline()
+            if not line:
+                raise ConnectionError("server closed the connection")
+            return json.loads(line)
+
+    def predict(self, past, **extras) -> Dict:
+        return self.request({"op": "predict", "past": past, **extras})
+
+    def push(self, viewer: str, pose) -> Dict:
+        return self.request({"op": "push", "viewer": viewer, "pose": pose})
+
+    def stats(self) -> Dict:
+        return self.request({"op": "stats"})
+
+    def close(self):
+        try:
+            self._sock.close()
+        finally:
+            self._rfile.close()
+
+
+# --------------------------------------------------------------------------
+# daemon entry point (used by the CLI)
+# --------------------------------------------------------------------------
+
+
+def serve_daemon(
+    params,
+    cfg,
+    fam,
+    *,
+    host: str = "127.0.0.1",
+    port: int = 8360,
+    max_batch: int = 256,
+    max_wait_ms: float = 2.0,
+    with_tiles: bool = True,
+    tile_rows: int = 6,
+    tile_cols: int = 12,
+    fov_deg: float = 90.0,
+    impl: str = "xla",
+    warmup: bool = True,
+) -> FovServer:
+    """Build the jitted serve fn + batcher + TCP server (not yet
+    serving — call ``serve_forever()`` or use it from tests). With
+    ``warmup`` the largest bucket compiles before the socket opens, so
+    the first live request never pays the XLA compile."""
+    serve_fn = make_serve_fn(
+        params,
+        cfg,
+        fam,
+        with_tiles=with_tiles,
+        tile_rows=tile_rows,
+        tile_cols=tile_cols,
+        fov_deg=fov_deg,
+        impl=impl,
+    )
+    specs = extra_specs_for(cfg)
+    if warmup:
+        # compile the two buckets live traffic hits first: a lone request
+        # (bucket 1) and the saturated batch (bucket max). Intermediate
+        # buckets compile on first use.
+        h_in = cfg.model.h_in
+        for b in {1, max_batch}:
+            dummy = {"past": np.zeros((b, h_in, 3), np.float32)}
+            dummy["past"][..., 0] = 1.0  # on-sphere
+            for name, shape in specs.items():
+                dummy[name] = np.zeros((b,) + shape, np.float32)
+            np.asarray(serve_fn(dummy)["yaw"])
+    batcher = DynamicBatcher(
+        serve_fn,
+        h_in=cfg.model.h_in,
+        extra_specs=specs,
+        max_batch=max_batch,
+        max_wait_ms=max_wait_ms,
+    )
+    return FovServer((host, port), batcher)

@@ -1,0 +1,367 @@
+"""Online serving daemon: dynamic batching, sessions, TCP transport.
+
+Covers the serving runtime (serving.py) end to end on CPU:
+- padding/co-batching invariance: a request's answer is identical no
+  matter what else rides in its batch (the batcher's core contract),
+- bucket ladder shapes (bounded compile count),
+- session rolling windows (push op),
+- cross_user extras schema incl. the zero-fill = no-context guarantee,
+- the TCP server with concurrent clients actually coalescing,
+- export-npz param loading round trip.
+"""
+
+import json
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from longterm360fov_tpu import geometry as G
+from longterm360fov_tpu import infer, serving, windows
+from longterm360fov_tpu.config import ExperimentConfig
+from longterm360fov_tpu.models import get_family
+from longterm360fov_tpu.models.seq2seq import Seq2SeqConfig
+
+
+def tiny_cfg(family="seq2seq", **kw):
+    ctx = 16 if family in ("cross_user", "fusion") else 0
+    return ExperimentConfig(
+        name=f"tiny-{family}",
+        model=Seq2SeqConfig(d=3, hidden=16, layers=1, h_in=5, h_out=4,
+                            ctx_dim=ctx),
+        model_family=family,
+        n_other_users=2,
+        **kw,
+    )
+
+
+def make_setup(family="seq2seq"):
+    cfg = tiny_cfg(family)
+    fam = get_family(family)
+    params = fam.init(jax.random.PRNGKey(0), cfg.model)
+    return cfg, fam, params
+
+
+def random_past(rng, n=1, h_in=5):
+    v = rng.normal(size=(n, h_in, 3)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    return v if n > 1 else v[0]
+
+
+# -------------------------------------------------------------------------
+# batcher
+# -------------------------------------------------------------------------
+
+
+def test_padding_and_cobatching_invariance():
+    cfg, fam, params = make_setup()
+    serve_fn = serving.make_serve_fn(params, cfg, fam, with_tiles=True)
+    rng = np.random.default_rng(0)
+    pasts = random_past(rng, 7)
+
+    # direct reference: each request alone through the same program
+    ref = serve_fn({"past": jnp.asarray(pasts)})
+    ref_yaw = np.asarray(ref["yaw"])
+
+    bat = serving.DynamicBatcher(
+        serve_fn, h_in=5, max_batch=8, max_wait_ms=50.0
+    )
+    try:
+        # submit all 7 concurrently → the batcher pads 7 → bucket 8
+        pending = [bat.submit(p) for p in pasts]
+        results = []
+        for p in pending:
+            assert p.event.wait(30)
+            assert p.error is None, p.error
+            results.append(p.result)
+        for i, r in enumerate(results):
+            np.testing.assert_allclose(r["yaw"], ref_yaw[i], atol=1e-5)
+            assert r["prefetch"].dtype == bool
+        s = bat.stats()
+        assert s["requests"] == 7
+        # 7 requests coalesced into at most 2 dispatches, padded to buckets
+        assert s["batches"] <= 2
+        assert s["pad_fraction"] > 0
+        assert s["latency_ms_p50"] is not None
+    finally:
+        bat.stop()
+
+
+def test_bucket_ladder():
+    cfg, fam, params = make_setup()
+    serve_fn = serving.make_serve_fn(params, cfg, fam, with_tiles=False)
+    bat = serving.DynamicBatcher(serve_fn, h_in=5, max_batch=16)
+    try:
+        assert [bat._bucket(n) for n in (1, 2, 3, 5, 9, 16, 99)] == [
+            1, 2, 4, 8, 16, 16, 16,
+        ]
+    finally:
+        bat.stop()
+
+
+def test_batcher_rejects_bad_shapes_and_unknown_extras():
+    cfg, fam, params = make_setup()
+    serve_fn = serving.make_serve_fn(params, cfg, fam)
+    bat = serving.DynamicBatcher(serve_fn, h_in=5, max_batch=4)
+    try:
+        with pytest.raises(ValueError, match="past"):
+            bat.submit(np.zeros((3, 3), np.float32))
+        with pytest.raises(ValueError, match="unknown extras"):
+            bat.submit(np.zeros((5, 3), np.float32), bogus=np.zeros(3))
+    finally:
+        bat.stop()
+
+
+def test_batcher_delivers_errors():
+    def broken(batch):
+        raise RuntimeError("kaboom")
+
+    bat = serving.DynamicBatcher(broken, h_in=5, max_batch=4)
+    try:
+        with pytest.raises(RuntimeError, match="kaboom"):
+            bat.predict(np.zeros((5, 3), np.float32), timeout=10)
+    finally:
+        bat.stop()
+
+
+def test_cross_user_extras_schema_and_zero_context():
+    cfg, fam, params = make_setup("cross_user")
+    serve_fn = serving.make_serve_fn(params, cfg, fam, with_tiles=False)
+    specs = serving.extra_specs_for(cfg)
+    assert specs == {"other_future": (2, 4, 3), "other_mask": (2,)}
+    bat = serving.DynamicBatcher(
+        serve_fn, h_in=5, extra_specs=specs, max_batch=4, max_wait_ms=1.0
+    )
+    rng = np.random.default_rng(1)
+    past = random_past(rng)
+    peers = rng.normal(size=(2, 4, 3)).astype(np.float32)
+    try:
+        # no peers given → zero-fill context ≡ the plain model
+        res_nopeer = bat.predict(past)
+        plain = serve_fn(
+            {
+                "past": jnp.asarray(past)[None],
+                "other_future": jnp.zeros((1, 2, 4, 3)),
+                "other_mask": jnp.zeros((1, 2)),
+            }
+        )
+        np.testing.assert_allclose(
+            res_nopeer["yaw"], np.asarray(plain["yaw"])[0], atol=1e-5
+        )
+
+        # peers given without a mask → mask derived from nonzero rows
+        res_peer = bat.predict(past, other_future=peers)
+        withp = serve_fn(
+            {
+                "past": jnp.asarray(past)[None],
+                "other_future": jnp.asarray(peers)[None],
+                "other_mask": jnp.ones((1, 2)),
+            }
+        )
+        np.testing.assert_allclose(
+            res_peer["yaw"], np.asarray(withp["yaw"])[0], atol=1e-5
+        )
+        # the peers must actually change the answer for this to be a test
+        assert not np.allclose(res_peer["yaw"], res_nopeer["yaw"])
+
+        # one peer where the preset has K=2 → padded + masked
+        res_one = bat.predict(past, other_future=peers[:1])
+        one = serve_fn(
+            {
+                "past": jnp.asarray(past)[None],
+                "other_future": jnp.asarray(
+                    np.concatenate([peers[:1], np.zeros((1, 4, 3))])
+                )[None],
+                "other_mask": jnp.asarray([[1.0, 0.0]]),
+            }
+        )
+        np.testing.assert_allclose(
+            res_one["yaw"], np.asarray(one["yaw"])[0], atol=1e-5
+        )
+    finally:
+        bat.stop()
+
+
+# -------------------------------------------------------------------------
+# sessions
+# -------------------------------------------------------------------------
+
+
+def test_sessions_rolling_window():
+    s = serving.ViewerSessions(h_in=3)
+    assert s.push("u", [0.0, 0.0]) is None
+    assert s.missing("u") == 2
+    assert s.push("u", [0.1, 0.0]) is None
+    w = s.push("u", [0.2, 0.1])
+    assert w.shape == (3, 3)
+    np.testing.assert_allclose(np.linalg.norm(w, axis=-1), 1.0, atol=1e-6)
+    # window rolls: a 4th pose drops the 1st
+    w2 = s.push("u", [0.3, 0.1])
+    np.testing.assert_allclose(w2[:2], w[1:])
+    # xyz poses renormalize; zero-norm rejected
+    w3 = s.push("u", [2.0, 0.0, 0.0])
+    np.testing.assert_allclose(w3[-1], [1.0, 0.0, 0.0])
+    with pytest.raises(ValueError):
+        s.push("u", [0.0, 0.0, 0.0])
+    s.drop("u")
+    assert len(s) == 0
+
+
+# -------------------------------------------------------------------------
+# TCP server end to end
+# -------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def live_server():
+    cfg, fam, params = make_setup()
+    server = serving.serve_daemon(
+        params, cfg, fam,
+        host="127.0.0.1", port=0,  # ephemeral
+        max_batch=8, max_wait_ms=10.0, warmup=False,
+    )
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield server, cfg, fam, params
+    server.shutdown()
+    server.batcher.stop()
+
+
+def test_server_predict_matches_direct(live_server):
+    server, cfg, fam, params = live_server
+    host, port = server.server_address
+    rng = np.random.default_rng(2)
+    past = random_past(rng)
+
+    client = serving.FovClient(host, port)
+    try:
+        resp = client.predict(past.tolist())
+        assert "error" not in resp, resp
+        assert len(resp["yaw"]) == cfg.model.h_out
+
+        direct = infer.predict_batch(
+            params, cfg, fam.apply, jnp.asarray(past)[None]
+        )
+        yaw_ref, pitch_ref = (
+            np.asarray(a)[0] for a in G.xyz_to_euler(direct)
+        )
+        np.testing.assert_allclose(resp["yaw"], yaw_ref, atol=1e-4)
+        np.testing.assert_allclose(resp["pitch"], pitch_ref, atol=1e-4)
+
+        # prefetch set: indices of the horizon-union tile mask
+        mask = np.asarray(infer.tiles_for_fov(direct))[0].any(axis=0)
+        assert resp["prefetch"] == list(np.nonzero(mask)[0])
+    finally:
+        client.close()
+
+
+def test_server_push_session_flow(live_server):
+    server, cfg, _, _ = live_server
+    host, port = server.server_address
+    client = serving.FovClient(host, port)
+    try:
+        for i in range(cfg.model.h_in - 1):
+            r = client.push("viewer-7", [0.01 * i, 0.0])
+            assert r["pending"] == cfg.model.h_in - 1 - i
+        r = client.push("viewer-7", [0.05, 0.0])
+        assert "yaw" in r and len(r["yaw"]) == cfg.model.h_out
+        # subsequent pushes answer every time (rolling window)
+        r2 = client.push("viewer-7", [0.06, 0.0])
+        assert "yaw" in r2
+        stats = client.stats()
+        assert stats["sessions"] >= 1
+        drop = client.request({"op": "drop", "viewer": "viewer-7"})
+        assert drop["dropped"] is True
+    finally:
+        client.close()
+
+
+def test_server_concurrent_clients_coalesce(live_server):
+    server, _, _, _ = live_server
+    host, port = server.server_address
+    rng = np.random.default_rng(3)
+    pasts = random_past(rng, 6)
+    before = server.batcher.stats()
+
+    barrier = threading.Barrier(6)
+    out = [None] * 6
+
+    def worker(i):
+        c = serving.FovClient(host, port)
+        try:
+            barrier.wait()
+            out[i] = c.predict(pasts[i].tolist())
+        finally:
+            c.close()
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(30)
+    assert all(o is not None and "yaw" in o for o in out)
+    after = server.batcher.stats()
+    n_req = after["requests"] - before["requests"]
+    n_bat = after["batches"] - before["batches"]
+    assert n_req == 6
+    assert n_bat < 6, "concurrent requests must coalesce into fewer batches"
+
+
+def test_server_error_reply_keeps_connection(live_server):
+    server, _, _, _ = live_server
+    host, port = server.server_address
+    client = serving.FovClient(host, port)
+    try:
+        r = client.request({"op": "predict", "past": [[1, 0, 0]]})  # bad shape
+        assert "error" in r
+        r2 = client.request({"op": "nonsense"})
+        assert "error" in r2
+        # connection still works after errors
+        assert "requests" in client.stats()
+    finally:
+        client.close()
+
+
+# -------------------------------------------------------------------------
+# export npz round trip
+# -------------------------------------------------------------------------
+
+
+def test_load_exported_params_roundtrip(tmp_path):
+    cfg, fam, params = make_setup("cross_user")
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        key = ".".join(
+            str(getattr(k, "key", getattr(k, "idx", getattr(k, "name", k))))
+            for k in path
+        )
+        flat[key] = np.asarray(leaf)
+    npz = tmp_path / "params.npz"
+    np.savez(npz, **flat)
+
+    loaded = serving.load_exported_params(str(npz), cfg, fam)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # missing key errors loudly
+    bad = dict(flat)
+    bad.pop(sorted(bad)[0])
+    npz2 = tmp_path / "bad.npz"
+    np.savez(npz2, **bad)
+    with pytest.raises(KeyError):
+        serving.load_exported_params(str(npz2), cfg, fam)
+
+
+def test_cli_parser_accepts_serve_daemon():
+    from longterm360fov_tpu.cli import _build_parser
+
+    p = _build_parser()
+    args = p.parse_args(
+        ["serve-daemon", "--preset", "seq2seq-tf-30", "--params", "x.npz",
+         "--port", "0", "--max-batch", "32"]
+    )
+    assert args.cmd == "serve-daemon"
+    assert args.max_batch == 32
+    assert json.dumps(vars(args))  # serializable namespace
