@@ -163,6 +163,11 @@ def _build_parser() -> argparse.ArgumentParser:
     sd.add_argument("--tile-cols", type=int, default=12)
     sd.add_argument("--fov", type=float, default=90.0)
     sd.add_argument("--impl", default="xla", choices=("xla", "fused"))
+    sd.add_argument(
+        "--data-parallel", action="store_true",
+        help="shard every dispatch over all local chips ('data' mesh "
+        "axis); batch buckets start at the chip count",
+    )
 
     ex = sub.add_parser(
         "export", help="checkpoint → flat npz for serving deployments"
@@ -591,13 +596,18 @@ def cmd_serve_daemon(args):
         opt = TR.make_optimizer(cfg)
         ck = _open_checkpoint(args.ckpt_dir, cfg)
         params = ck.restore(TR.init_state(cfg, fam.init, opt)).params
+    mesh = None
+    if args.data_parallel:
+        from .parallel import make_mesh
+
+        mesh = make_mesh()
     server = serving.serve_daemon(
         params, cfg, fam,
         host=args.host, port=args.port,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
         with_tiles=not args.no_tiles,
         tile_rows=args.tile_rows, tile_cols=args.tile_cols,
-        fov_deg=args.fov, impl=args.impl,
+        fov_deg=args.fov, impl=args.impl, mesh=mesh,
     )
     print(
         json.dumps(

@@ -75,15 +75,24 @@ def make_serve_fn(
     tile_cols: int = 12,
     fov_deg: float = 90.0,
     impl: str = "xla",
+    mesh=None,
 ) -> Callable:
     """One jitted program: batch dict → {"yaw", "pitch", ["prefetch"]}.
 
     ``impl="fused"`` routes through the family's whole-request Pallas
     serve kernel (the fastest tier, BASELINE.md); ``"xla"`` uses the
     scan path. Either way the host sees exactly one dispatch per batch.
+
+    With ``mesh`` the same program runs inside shard_map with the batch
+    (viewer) axis split over the mesh's 'data' axis and params
+    replicated — one daemon drives every local chip (predictions are
+    viewer-local, so no collective is needed; see parallel/serve.py).
+    Batch sizes must then be multiples of the mesh size, which the
+    DynamicBatcher guarantees via ``divisor=mesh.devices.size``.
     """
     import jax
     import jax.numpy as jnp
+    from jax.sharding import PartitionSpec
 
     from . import geometry, infer, windows
     from .train import default_extras
@@ -114,6 +123,20 @@ def make_serve_fn(
             # union over the horizon = this tick's prefetch set
             out["prefetch"] = jnp.any(mask, axis=1)
         return out
+
+    if mesh is not None:
+        spec = PartitionSpec("data")
+
+        def sharded(batch):
+            return jax.shard_map(
+                serve,
+                mesh=mesh,
+                in_specs=(jax.tree.map(lambda _: spec, batch),),
+                out_specs=spec,
+                check_vma=False,
+            )(batch)
+
+        return jax.jit(sharded)
 
     return jax.jit(serve)
 
@@ -209,12 +232,19 @@ class DynamicBatcher:
         extra_specs: Optional[Dict[str, Tuple[int, ...]]] = None,
         max_batch: int = 256,
         max_wait_ms: float = 2.0,
+        divisor: int = 1,
     ):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
+        if divisor < 1 or max_batch % divisor:
+            raise ValueError(
+                f"max_batch {max_batch} must be a positive multiple of "
+                f"divisor {divisor} (= mesh data size for sharded serving)"
+            )
         self._serve = serve_fn
         self.h_in = int(h_in)
         self.extra_specs = dict(extra_specs or {})
+        self.divisor = int(divisor)
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1e3
         self._q: "queue.Queue[Optional[_Pending]]" = queue.Queue()
@@ -293,7 +323,7 @@ class DynamicBatcher:
     # -- dispatcher ----------------------------------------------------
 
     def _bucket(self, n: int) -> int:
-        b = 1
+        b = self.divisor  # ladder: divisor, 2·divisor, 4·divisor, ...
         while b < n:
             b *= 2
         return min(b, self.max_batch)
@@ -606,12 +636,14 @@ def serve_daemon(
     tile_cols: int = 12,
     fov_deg: float = 90.0,
     impl: str = "xla",
+    mesh=None,
     warmup: bool = True,
 ) -> FovServer:
     """Build the jitted serve fn + batcher + TCP server (not yet
     serving — call ``serve_forever()`` or use it from tests). With
-    ``warmup`` the largest bucket compiles before the socket opens, so
-    the first live request never pays the XLA compile."""
+    ``warmup`` the first-hit buckets compile before the socket opens, so
+    no live request pays an XLA compile. ``mesh`` shards every dispatch
+    over the mesh's 'data' axis (one daemon, all local chips)."""
     serve_fn = make_serve_fn(
         params,
         cfg,
@@ -621,14 +653,16 @@ def serve_daemon(
         tile_cols=tile_cols,
         fov_deg=fov_deg,
         impl=impl,
+        mesh=mesh,
     )
     specs = extra_specs_for(cfg)
+    divisor = 1 if mesh is None else int(mesh.devices.size)
     if warmup:
         # compile the two buckets live traffic hits first: a lone request
-        # (bucket 1) and the saturated batch (bucket max). Intermediate
-        # buckets compile on first use.
+        # (bucket divisor) and the saturated batch (bucket max).
+        # Intermediate buckets compile on first use.
         h_in = cfg.model.h_in
-        for b in {1, max_batch}:
+        for b in {divisor, max_batch}:
             dummy = {"past": np.zeros((b, h_in, 3), np.float32)}
             dummy["past"][..., 0] = 1.0  # on-sphere
             for name, shape in specs.items():
@@ -640,5 +674,6 @@ def serve_daemon(
         extra_specs=specs,
         max_batch=max_batch,
         max_wait_ms=max_wait_ms,
+        divisor=divisor,
     )
     return FovServer((host, port), batcher)

@@ -184,6 +184,50 @@ def test_cross_user_extras_schema_and_zero_context():
         bat.stop()
 
 
+def test_mesh_sharded_daemon_matches_single_device():
+    """One daemon over the 8-virtual-device 'data' mesh: identical
+    answers to the unsharded program, bucket ladder starts at the mesh
+    size so every dispatch divides evenly."""
+    from longterm360fov_tpu.parallel import make_mesh
+
+    cfg, fam, params = make_setup()
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    assert n_dev == 8  # conftest forces 8 virtual CPU devices
+
+    plain = serving.make_serve_fn(params, cfg, fam, with_tiles=True)
+    sharded = serving.make_serve_fn(
+        params, cfg, fam, with_tiles=True, mesh=mesh
+    )
+    rng = np.random.default_rng(4)
+    pasts = random_past(rng, 16)
+    ref = plain({"past": jnp.asarray(pasts)})
+    out = sharded({"past": jnp.asarray(pasts)})
+    np.testing.assert_allclose(
+        np.asarray(out["yaw"]), np.asarray(ref["yaw"]), atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["prefetch"]), np.asarray(ref["prefetch"])
+    )
+
+    bat = serving.DynamicBatcher(
+        sharded, h_in=5, max_batch=16, max_wait_ms=20.0, divisor=n_dev
+    )
+    try:
+        assert [bat._bucket(n) for n in (1, 7, 9, 99)] == [8, 8, 16, 16]
+        # 3 concurrent requests → one bucket-8 dispatch over the mesh
+        pending = [bat.submit(p) for p in pasts[:3]]
+        for i, p in enumerate(pending):
+            assert p.event.wait(30) and p.error is None
+            np.testing.assert_allclose(
+                p.result["yaw"], np.asarray(ref["yaw"])[i], atol=1e-5
+            )
+        with pytest.raises(ValueError, match="multiple"):
+            serving.DynamicBatcher(sharded, h_in=5, max_batch=12, divisor=8)
+    finally:
+        bat.stop()
+
+
 # -------------------------------------------------------------------------
 # sessions
 # -------------------------------------------------------------------------
