@@ -184,6 +184,25 @@ def test_cross_user_extras_schema_and_zero_context():
         bat.stop()
 
 
+def test_fused_impl_serve_fn_matches_xla():
+    """impl='fused' routes the daemon through the family's Pallas serve
+    kernel (interpret mode on CPU); answers match the XLA path."""
+    cfg, fam, params = make_setup()
+    rng = np.random.default_rng(5)
+    pasts = jnp.asarray(random_past(rng, 4))
+    xla = serving.make_serve_fn(params, cfg, fam, with_tiles=True)
+    fused = serving.make_serve_fn(
+        params, cfg, fam, with_tiles=True, impl="fused"
+    )
+    a, b = xla({"past": pasts}), fused({"past": pasts})
+    np.testing.assert_allclose(
+        np.asarray(a["yaw"]), np.asarray(b["yaw"]), atol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a["prefetch"]), np.asarray(b["prefetch"])
+    )
+
+
 def test_mesh_sharded_daemon_matches_single_device():
     """One daemon over the 8-virtual-device 'data' mesh: identical
     answers to the unsharded program, bucket ladder starts at the mesh
