@@ -13,3 +13,24 @@ transformer) → losses/eval → train/infer runtimes → parallel (mesh DP).
 __version__ = "0.1.0"
 
 from . import geometry, losses, traces, windows  # noqa: F401
+
+# Heavier subsystems load lazily (PEP 562) so `import longterm360fov_tpu`
+# stays cheap for host-only tools (data prep, trace inspection).
+_LAZY = (
+    "baselines", "checkpoint", "config", "data", "datasets", "evaluate",
+    "infer", "models", "oracle", "parallel", "plots", "serving", "train",
+)
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        mod = importlib.import_module(f".{name}", __name__)
+        globals()[name] = mod
+        return mod
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_LAZY))
