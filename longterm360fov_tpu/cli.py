@@ -647,13 +647,9 @@ def cmd_export(args):
     opt = TR.make_optimizer(cfg)
     ck = _open_checkpoint(args.ckpt_dir, cfg)
     state = ck.restore(TR.init_state(cfg, fam.init, opt), step=args.step)
-    flat = {}
-    for path, leaf in jax.tree_util.tree_flatten_with_path(state.params)[0]:
-        key = ".".join(
-            str(getattr(k, "key", getattr(k, "idx", getattr(k, "name", k))))
-            for k in path
-        )
-        flat[key] = np.asarray(leaf)
+    from .serving import flat_param_items
+
+    flat = {k: np.asarray(v) for k, v in flat_param_items(state.params)}
     np.savez(args.out, **flat)
     print(
         f"exported {len(flat)} arrays "

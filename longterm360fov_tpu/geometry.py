@@ -101,6 +101,18 @@ def euler_to_xyz(yaw, pitch):
     )
 
 
+def euler_to_xyz_np(yaw, pitch):
+    """Host-side numpy twin of :func:`euler_to_xyz` (identical convention
+    by construction — parity-tested) for per-request paths that must not
+    touch the device (e.g. the serving daemon's session store)."""
+    import numpy as np
+
+    cp = np.cos(pitch)
+    return np.stack(
+        [cp * np.cos(yaw), cp * np.sin(yaw), np.sin(pitch)], axis=-1
+    ).astype(np.float32)
+
+
 def xyz_to_euler(v):
     """Unit vector (..., 3) → (yaw, pitch) radians.
 

@@ -55,6 +55,8 @@ __all__ = [
     "FovClient",
     "make_serve_fn",
     "extra_specs_for",
+    "required_extras_for",
+    "flat_param_items",
     "load_exported_params",
     "serve_daemon",
 ]
@@ -145,9 +147,12 @@ def extra_specs_for(cfg) -> Dict[str, Tuple[int, ...]]:
     """Per-request extra-array schema for the preset's model family.
 
     The daemon enforces ONE schema for every request (uniform pytree
-    structure → one jit cache entry per bucket size); requests that omit
-    an extra get zero-fill + a zero validity mask, which the families
-    define as exactly the no-context model (CI-tested equivalences)."""
+    structure → one jit cache entry per bucket size). Mask-gated extras
+    (peer futures) may be omitted: zero-fill + a zero validity mask is
+    exactly the no-context model (CI-tested equivalence). Extras with NO
+    validity mask (fusion's ``features`` — the model cannot tell zeros
+    from real data) are REQUIRED per request; see
+    :func:`required_extras_for`."""
     fam = cfg.model_family
     if fam in ("cross_user", "transformer") and cfg.n_other_users > 0:
         k, t = cfg.n_other_users, cfg.model.h_out
@@ -157,6 +162,35 @@ def extra_specs_for(cfg) -> Dict[str, Tuple[int, ...]]:
 
         return {"features": (FEATURE_DIM,)}
     return {}
+
+
+def required_extras_for(cfg) -> frozenset:
+    """Extras every request MUST carry: those without a validity mask.
+    Zero-filling fusion features is NOT the no-context model (a trained
+    feature MLP maps zeros to a nonzero context), so omitting them must
+    be a loud error, never a silent zero-fill."""
+    return frozenset(
+        name
+        for name in extra_specs_for(cfg)
+        if name not in ("other_future", "other_mask")
+    )
+
+
+def flat_param_items(params):
+    """(dotted-path key, leaf) pairs for a params pytree — THE npz
+    serialization contract shared by ``cli.cmd_export`` (writer),
+    :func:`load_exported_params` (reader), and the round-trip test.
+    One implementation so the two sides can never desynchronize."""
+    import jax
+
+    items = []
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        key = ".".join(
+            str(getattr(k, "key", getattr(k, "idx", getattr(k, "name", k))))
+            for k in path
+        )
+        items.append((key, leaf))
+    return items
 
 
 def load_exported_params(npz_path: str, cfg, fam):
@@ -171,14 +205,10 @@ def load_exported_params(npz_path: str, cfg, fam):
 
     skeleton = fam.init(jax.random.PRNGKey(0), cfg.model)
     loaded = np.load(npz_path)
-    paths, treedef = jax.tree_util.tree_flatten_with_path(skeleton)
+    treedef = jax.tree_util.tree_structure(skeleton)
     keys = []
     leaves = []
-    for path, leaf in paths:
-        key = ".".join(
-            str(getattr(k, "key", getattr(k, "idx", getattr(k, "name", k))))
-            for k in path
-        )
+    for key, leaf in flat_param_items(skeleton):
         if key not in loaded.files:
             raise KeyError(
                 f"exported npz {npz_path!r} is missing param {key!r} — "
@@ -230,6 +260,7 @@ class DynamicBatcher:
         *,
         h_in: int,
         extra_specs: Optional[Dict[str, Tuple[int, ...]]] = None,
+        required: frozenset = frozenset(),
         max_batch: int = 256,
         max_wait_ms: float = 2.0,
         divisor: int = 1,
@@ -244,6 +275,7 @@ class DynamicBatcher:
         self._serve = serve_fn
         self.h_in = int(h_in)
         self.extra_specs = dict(extra_specs or {})
+        self.required = frozenset(required)
         self.divisor = int(divisor)
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1e3
@@ -273,6 +305,14 @@ class DynamicBatcher:
                 f"past must be ({self.h_in}, 3) xyz, got {past.shape}"
             )
         arrays = {"past": past}
+        supplied = {k for k, v in extras.items() if v is not None}
+        missing_req = self.required - supplied
+        if missing_req:
+            raise ValueError(
+                f"this daemon's model family requires extras "
+                f"{sorted(missing_req)} in every request (they have no "
+                f"validity mask, so zero-fill would be wrong, not 'absent')"
+            )
         for name, shape in self.extra_specs.items():
             given = extras.pop(name, None)
             if given is None:
@@ -296,11 +336,13 @@ class DynamicBatcher:
                 arrays[name] = given
         if extras:
             raise ValueError(f"unknown extras: {sorted(extras)}")
-        # default mask: valid where a peer row is (any) nonzero
+        # default mask, ONLY when the caller didn't supply one: valid
+        # where a peer row is (any) nonzero. An explicit all-zero mask
+        # means "peers present but disabled" and is honored as-is.
         if (
             "other_mask" in self.extra_specs
-            and not np.any(arrays["other_mask"])
-            and np.any(arrays.get("other_future", 0))
+            and "other_mask" not in supplied
+            and "other_future" in supplied
         ):
             arrays["other_mask"] = (
                 np.abs(arrays["other_future"]).max(axis=(1, 2)) > 0
@@ -402,6 +444,17 @@ class DynamicBatcher:
             self._stopped = True
             self._q.put(None)
             self._thread.join(timeout=10)
+            # a submit() racing past the _stopped check can land behind
+            # the sentinel — fail those fast instead of letting their
+            # waiters sit out the full timeout
+            while True:
+                try:
+                    p = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if p is not None:
+                    p.error = RuntimeError("batcher is stopped")
+                    p.event.set()
 
 
 # --------------------------------------------------------------------------
@@ -410,10 +463,11 @@ class DynamicBatcher:
 
 
 def _euler_to_xyz_np(yaw: float, pitch: float) -> np.ndarray:
-    cp = np.cos(pitch)
-    return np.array(
-        [cp * np.cos(yaw), cp * np.sin(yaw), np.sin(pitch)], np.float32
-    )
+    # delegate to geometry's canonical-convention numpy twin (lazy import
+    # keeps `import serving` light for host-only tooling)
+    from .geometry import euler_to_xyz_np
+
+    return euler_to_xyz_np(yaw, pitch)
 
 
 class ViewerSessions:
@@ -422,13 +476,19 @@ class ViewerSessions:
     ``push`` accepts a pose as xyz ([x, y, z], renormalized) or as
     radians ([yaw, pitch]) and returns the full window once h_in poses
     have arrived, else None. Host-side numpy only — no device traffic
-    until a window is complete."""
+    until a window is complete. At ``max_viewers`` live sessions the
+    least-recently-active one is evicted (viewers churn; disconnected
+    clients never send "drop", so a hard table-full error would lock
+    new viewers out of a long-running daemon forever)."""
 
     def __init__(self, h_in: int, max_viewers: int = 100_000):
+        from collections import OrderedDict
+
         self.h_in = int(h_in)
         self.max_viewers = int(max_viewers)
+        self.n_evicted = 0
         self._lock = threading.Lock()
-        self._buf: Dict[str, deque] = {}
+        self._buf: "OrderedDict[str, deque]" = OrderedDict()
 
     def push(self, viewer: str, pose) -> Optional[np.ndarray]:
         pose = np.asarray(pose, np.float32)
@@ -446,10 +506,13 @@ class ViewerSessions:
         with self._lock:
             dq = self._buf.get(viewer)
             if dq is None:
-                if len(self._buf) >= self.max_viewers:
-                    raise RuntimeError("viewer session table full")
+                while len(self._buf) >= self.max_viewers:
+                    self._buf.popitem(last=False)  # evict LRU
+                    self.n_evicted += 1
                 dq = deque(maxlen=self.h_in)
                 self._buf[viewer] = dq
+            else:
+                self._buf.move_to_end(viewer)
             dq.append(xyz)
             if len(dq) < self.h_in:
                 return None
@@ -483,7 +546,7 @@ class _Handler(socketserver.StreamRequestHandler):
                 continue
             try:
                 req = json.loads(raw)
-                resp = srv.handle_request(req)
+                resp = srv.dispatch_op(req)
             except Exception as e:  # noqa: BLE001 — protocol errors answer inline
                 rid = None
                 try:
@@ -527,8 +590,10 @@ class FovServer(socketserver.ThreadingTCPServer):
         self.t_start = time.monotonic()
 
     # -- ops ------------------------------------------------------------
+    # (named dispatch_op, NOT handle_request: BaseServer.handle_request()
+    # is an inherited zero-arg stdlib API we must not shadow)
 
-    def handle_request(self, req: Dict) -> Dict:
+    def dispatch_op(self, req: Dict) -> Dict:
         op = req.get("op", "predict")
         rid = req.get("id")
         if op == "predict":
@@ -641,8 +706,9 @@ def serve_daemon(
 ) -> FovServer:
     """Build the jitted serve fn + batcher + TCP server (not yet
     serving — call ``serve_forever()`` or use it from tests). With
-    ``warmup`` the first-hit buckets compile before the socket opens, so
-    no live request pays an XLA compile. ``mesh`` shards every dispatch
+    ``warmup`` EVERY ladder bucket compiles before the socket opens
+    (the ladder has only log2(max_batch / divisor)+1 rungs), so no live
+    request ever pays an XLA compile. ``mesh`` shards every dispatch
     over the mesh's 'data' axis (one daemon, all local chips)."""
     serve_fn = make_serve_fn(
         params,
@@ -658,20 +724,25 @@ def serve_daemon(
     specs = extra_specs_for(cfg)
     divisor = 1 if mesh is None else int(mesh.devices.size)
     if warmup:
-        # compile the two buckets live traffic hits first: a lone request
-        # (bucket divisor) and the saturated batch (bucket max).
-        # Intermediate buckets compile on first use.
+        # compile the WHOLE ladder up front: a mid-traffic bucket compile
+        # would stall the single dispatcher thread (and with it every
+        # queued request) for the full XLA compile
         h_in = cfg.model.h_in
-        for b in {divisor, max_batch}:
+        b = divisor
+        while True:
             dummy = {"past": np.zeros((b, h_in, 3), np.float32)}
             dummy["past"][..., 0] = 1.0  # on-sphere
             for name, shape in specs.items():
                 dummy[name] = np.zeros((b,) + shape, np.float32)
             np.asarray(serve_fn(dummy)["yaw"])
+            if b >= max_batch:
+                break
+            b = min(b * 2, max_batch)
     batcher = DynamicBatcher(
         serve_fn,
         h_in=cfg.model.h_in,
         extra_specs=specs,
+        required=required_extras_for(cfg),
         max_batch=max_batch,
         max_wait_ms=max_wait_ms,
         divisor=divisor,

@@ -184,6 +184,90 @@ def test_cross_user_extras_schema_and_zero_context():
         bat.stop()
 
 
+def test_fusion_features_required_and_explicit_zero_mask_honored():
+    """Review fixes: (a) a fusion daemon must REJECT featureless requests
+    (zero features ≠ no context once trained); (b) an explicitly all-zero
+    other_mask disables peers even when peer data is present."""
+    # (a) fusion: features required
+    cfgf = tiny_cfg("fusion")
+    famf = get_family("fusion")
+    assert serving.required_extras_for(cfgf) == frozenset({"features"})
+    paramsf = famf.init(jax.random.PRNGKey(0), cfgf.model)
+    servef = serving.make_serve_fn(paramsf, cfgf, famf, with_tiles=False)
+    batf = serving.DynamicBatcher(
+        servef, h_in=5,
+        extra_specs=serving.extra_specs_for(cfgf),
+        required=serving.required_extras_for(cfgf),
+        max_batch=4,
+    )
+    rng = np.random.default_rng(6)
+    past = random_past(rng)
+    try:
+        with pytest.raises(ValueError, match="requires extras"):
+            batf.submit(past)
+        feats = rng.normal(size=(128,)).astype(np.float32)
+        res = batf.predict(past, features=feats)
+        assert res["yaw"].shape == (4,)
+    finally:
+        batf.stop()
+
+    # (b) cross_user: explicit zero mask wins over nonzero peer data
+    cfg, fam, params = make_setup("cross_user")
+    serve_fn = serving.make_serve_fn(params, cfg, fam, with_tiles=False)
+    bat = serving.DynamicBatcher(
+        serve_fn, h_in=5,
+        extra_specs=serving.extra_specs_for(cfg),
+        max_batch=4, max_wait_ms=1.0,
+    )
+    peers = rng.normal(size=(2, 4, 3)).astype(np.float32)
+    try:
+        masked_off = bat.predict(
+            past, other_future=peers, other_mask=np.zeros(2, np.float32)
+        )
+        no_peers = bat.predict(past)
+        np.testing.assert_allclose(
+            masked_off["yaw"], no_peers["yaw"], atol=1e-6
+        )
+        with_peers = bat.predict(past, other_future=peers)
+        assert not np.allclose(with_peers["yaw"], no_peers["yaw"])
+    finally:
+        bat.stop()
+
+
+def test_sessions_lru_eviction():
+    s = serving.ViewerSessions(h_in=2, max_viewers=3)
+    for v in ("a", "b", "c"):
+        s.push(v, [0.0, 0.0])
+    s.push("a", [0.1, 0.0])  # refresh a → b is now LRU
+    s.push("d", [0.0, 0.0])  # table full → evicts b
+    assert len(s) == 3 and s.n_evicted == 1
+    assert s.missing("b") == 2  # b starts over
+    # a kept its window: one more pose completes it
+    assert s.push("a", [0.2, 0.0]) is not None
+
+
+def test_euler_np_twin_matches_canonical():
+    from longterm360fov_tpu.geometry import euler_to_xyz, euler_to_xyz_np
+
+    rng = np.random.default_rng(7)
+    yaw = rng.uniform(-np.pi, np.pi, 64)
+    pitch = rng.uniform(-np.pi / 2, np.pi / 2, 64)
+    np.testing.assert_allclose(
+        euler_to_xyz_np(yaw, pitch),
+        np.asarray(euler_to_xyz(jnp.asarray(yaw), jnp.asarray(pitch))),
+        atol=1e-6,
+    )
+
+
+def test_stopped_batcher_fails_fast():
+    cfg, fam, params = make_setup()
+    serve_fn = serving.make_serve_fn(params, cfg, fam, with_tiles=False)
+    bat = serving.DynamicBatcher(serve_fn, h_in=5, max_batch=4)
+    bat.stop()
+    with pytest.raises(RuntimeError, match="stopped"):
+        bat.predict(np.zeros((5, 3), np.float32))
+
+
 def test_fused_impl_serve_fn_matches_xla():
     """impl='fused' routes the daemon through the family's Pallas serve
     kernel (interpret mode on CPU); answers match the XLA path."""
@@ -394,13 +478,10 @@ def test_server_error_reply_keeps_connection(live_server):
 
 def test_load_exported_params_roundtrip(tmp_path):
     cfg, fam, params = make_setup("cross_user")
-    flat = {}
-    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
-        key = ".".join(
-            str(getattr(k, "key", getattr(k, "idx", getattr(k, "name", k))))
-            for k in path
-        )
-        flat[key] = np.asarray(leaf)
+    # the same helper cmd_export writes with — one serialization contract
+    flat = {
+        k: np.asarray(v) for k, v in serving.flat_param_items(params)
+    }
     npz = tmp_path / "params.npz"
     np.savez(npz, **flat)
 
