@@ -50,6 +50,7 @@ import numpy as np
 
 __all__ = [
     "DynamicBatcher",
+    "ParamStore",
     "ViewerSessions",
     "FovServer",
     "FovClient",
@@ -67,6 +68,22 @@ __all__ = [
 # --------------------------------------------------------------------------
 
 
+class ParamStore:
+    """Mutable holder for the daemon's current params pytree: the serve
+    program takes params as a jit ARGUMENT (never a closure — closed-over
+    arrays bake into the HLO, which this repo's relay notes flag as a
+    compile-payload trap), so swapping ``.params`` hot-reloads the model
+    with zero recompiles (same shapes → same executable)."""
+
+    def __init__(self, params):
+        self.params = params
+        self.version = 0
+
+    def swap(self, params):
+        self.params = params  # atomic attribute store
+        self.version += 1
+
+
 def make_serve_fn(
     params,
     cfg,
@@ -78,12 +95,14 @@ def make_serve_fn(
     fov_deg: float = 90.0,
     impl: str = "xla",
     mesh=None,
+    param_store: Optional[ParamStore] = None,
 ) -> Callable:
     """One jitted program: batch dict → {"yaw", "pitch", ["prefetch"]}.
 
     ``impl="fused"`` routes through the family's whole-request Pallas
     serve kernel (the fastest tier, BASELINE.md); ``"xla"`` uses the
-    scan path. Either way the host sees exactly one dispatch per batch.
+    scan path. Either way the host sees exactly one dispatch per batch,
+    with params passed as a jit argument.
 
     With ``mesh`` the same program runs inside shard_map with the batch
     (viewer) axis split over the mesh's 'data' axis and params
@@ -91,6 +110,11 @@ def make_serve_fn(
     viewer-local, so no collective is needed; see parallel/serve.py).
     Batch sizes must then be multiples of the mesh size, which the
     DynamicBatcher guarantees via ``divisor=mesh.devices.size``.
+
+    ``param_store`` makes the returned callable read its params from the
+    store at every dispatch instead of the ``params`` snapshot — the
+    hot-reload hook ("reload" op): same shapes, same executable, new
+    weights.
     """
     import jax
     import jax.numpy as jnp
@@ -108,13 +132,13 @@ def make_serve_fn(
                 f"model family {cfg.model_family!r} has no fused serve tier"
             )
 
-    def serve(batch):
+    def serve(p, batch):
         past_n, _, anchor = windows.normalize_window(batch["past"])
         kw = extras_fn(batch, anchor)
         if fused_entry is not None:
-            pred_n = fused_entry(params, cfg.model, past_n, **kw)
+            pred_n = fused_entry(p, cfg.model, past_n, **kw)
         else:
-            pred_n = fam.apply(params, cfg.model, past_n, None, **kw)
+            pred_n = fam.apply(p, cfg.model, past_n, None, **kw)
         xyz = windows.denormalize_window(pred_n, anchor, to_sphere=True)
         yaw, pitch = geometry.xyz_to_euler(xyz)
         out = {"yaw": yaw, "pitch": pitch}
@@ -128,19 +152,23 @@ def make_serve_fn(
 
     if mesh is not None:
         spec = PartitionSpec("data")
+        inner = serve
 
-        def sharded(batch):
+        def serve(p, batch):  # noqa: F811 — sharded twin, same signature
             return jax.shard_map(
-                serve,
+                inner,
                 mesh=mesh,
-                in_specs=(jax.tree.map(lambda _: spec, batch),),
+                in_specs=(
+                    jax.tree.map(lambda _: PartitionSpec(), p),  # replicated
+                    jax.tree.map(lambda _: spec, batch),
+                ),
                 out_specs=spec,
                 check_vma=False,
-            )(batch)
+            )(p, batch)
 
-        return jax.jit(sharded)
-
-    return jax.jit(serve)
+    jitted = jax.jit(serve)
+    store = param_store if param_store is not None else ParamStore(params)
+    return lambda batch: jitted(store.params, batch)
 
 
 def extra_specs_for(cfg) -> Dict[str, Tuple[int, ...]]:
@@ -571,6 +599,11 @@ class FovServer(socketserver.ThreadingTCPServer):
                                                   else {"pending": k}
       {"op": "stats", "id"}                     → batcher + session stats
       {"op": "drop", "id", "viewer"}            → forget a session
+      {"op": "reload", "id", "path": npz}       → hot-swap params from an
+                                                  `export` npz (validated
+                                                  against the preset's
+                                                  architecture first; no
+                                                  recompile, no downtime)
     """
 
     daemon_threads = True
@@ -582,11 +615,13 @@ class FovServer(socketserver.ThreadingTCPServer):
         batcher: DynamicBatcher,
         *,
         request_timeout: float = 30.0,
+        reload_ctx: Optional[Tuple[ParamStore, object, object]] = None,
     ):
         super().__init__(addr, _Handler)
         self.batcher = batcher
         self.sessions = ViewerSessions(batcher.h_in)
         self.request_timeout = request_timeout
+        self.reload_ctx = reload_ctx  # (param_store, cfg, fam) or None
         self.t_start = time.monotonic()
 
     # -- ops ------------------------------------------------------------
@@ -630,6 +665,18 @@ class FovServer(socketserver.ThreadingTCPServer):
         if op == "drop":
             self.sessions.drop(str(req["viewer"]))
             return {"id": rid, "dropped": True}
+        if op == "reload":
+            if self.reload_ctx is None:
+                raise ValueError(
+                    "this server was built without reload support "
+                    "(serve_daemon wires it automatically)"
+                )
+            store, cfg, fam = self.reload_ctx
+            # validates structure/shapes BEFORE the swap — a bad npz
+            # errors here and the old params keep serving
+            new_params = load_exported_params(str(req["path"]), cfg, fam)
+            store.swap(new_params)
+            return {"id": rid, "reloaded": True, "version": store.version}
         raise ValueError(f"unknown op {op!r}")
 
     @staticmethod
@@ -709,7 +756,10 @@ def serve_daemon(
     ``warmup`` EVERY ladder bucket compiles before the socket opens
     (the ladder has only log2(max_batch / divisor)+1 rungs), so no live
     request ever pays an XLA compile. ``mesh`` shards every dispatch
-    over the mesh's 'data' axis (one daemon, all local chips)."""
+    over the mesh's 'data' axis (one daemon, all local chips). The
+    server supports the "reload" op: hot-swap params from a new
+    `export` npz with zero downtime."""
+    store = ParamStore(params)
     serve_fn = make_serve_fn(
         params,
         cfg,
@@ -720,6 +770,7 @@ def serve_daemon(
         fov_deg=fov_deg,
         impl=impl,
         mesh=mesh,
+        param_store=store,
     )
     specs = extra_specs_for(cfg)
     divisor = 1 if mesh is None else int(mesh.devices.size)
@@ -747,4 +798,4 @@ def serve_daemon(
         max_wait_ms=max_wait_ms,
         divisor=divisor,
     )
-    return FovServer((host, port), batcher)
+    return FovServer((host, port), batcher, reload_ctx=(store, cfg, fam))

@@ -456,6 +456,51 @@ def test_server_concurrent_clients_coalesce(live_server):
     assert n_bat < 6, "concurrent requests must coalesce into fewer batches"
 
 
+def test_server_hot_reload(live_server, tmp_path):
+    """reload op: new exported params change predictions with zero
+    downtime; an architecture-mismatched npz errors and the old params
+    keep serving."""
+    server, cfg, fam, params = live_server
+    host, port = server.server_address
+    rng = np.random.default_rng(8)
+    past = random_past(rng)
+
+    client = serving.FovClient(host, port)
+    try:
+        before = client.predict(past.tolist())
+
+        params2 = fam.init(jax.random.PRNGKey(99), cfg.model)
+        npz = tmp_path / "new.npz"
+        np.savez(
+            npz,
+            **{k: np.asarray(v) for k, v in serving.flat_param_items(params2)},
+        )
+        r = client.request({"op": "reload", "path": str(npz)})
+        assert r.get("reloaded") is True, r
+        after = client.predict(past.tolist())
+        assert not np.allclose(before["yaw"], after["yaw"])
+        # and it matches a direct run of the new params
+        direct = serving.make_serve_fn(params2, cfg, fam, with_tiles=False)(
+            {"past": jnp.asarray(past)[None]}
+        )
+        np.testing.assert_allclose(
+            after["yaw"], np.asarray(direct["yaw"])[0], atol=1e-4
+        )
+
+        # bad npz (missing keys) → error reply, old (new2) params intact
+        np.savez(tmp_path / "bad.npz", nonsense=np.zeros(3))
+        r_bad = client.request(
+            {"op": "reload", "path": str(tmp_path / "bad.npz")}
+        )
+        assert "error" in r_bad
+        still = client.predict(past.tolist())
+        np.testing.assert_allclose(still["yaw"], after["yaw"], atol=1e-6)
+    finally:
+        # restore the fixture's original params for later tests
+        server.reload_ctx[0].swap(params)
+        client.close()
+
+
 def test_server_error_reply_keeps_connection(live_server):
     server, _, _, _ = live_server
     host, port = server.server_address
