@@ -1,0 +1,117 @@
+"""Online-serving daemon micro-benchmark: request throughput + latency.
+
+Spins up the daemon in-process (no separate server needed), fires
+concurrent FovClient threads over real TCP, and reports req/s plus
+p50/p95/p99 end-to-end latency and the batcher's coalescing stats.
+
+    python scripts/bench_daemon.py --preset seq2seq-tf-30 \
+        --clients 64 --requests 20 --impl fused --max-batch 4096
+
+On CPU this measures the host plumbing (JSON + sockets + batcher); on
+the TPU it measures the production serving stack end to end — compare
+against serve-bench (pure device dispatch) to read off the serving
+overhead. The TODO.md runbook carries the TPU variant.
+"""
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="seq2seq-tf-30")
+    ap.add_argument("--clients", type=int, default=64)
+    ap.add_argument("--requests", type=int, default=20, help="per client")
+    ap.add_argument("--max-batch", type=int, default=256)
+    ap.add_argument("--max-wait-ms", type=float, default=2.0)
+    ap.add_argument("--impl", default="xla", choices=("xla", "fused"))
+    ap.add_argument("--cpu", action="store_true", help="pin the CPU platform")
+    ap.add_argument("--no-tiles", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from longterm360fov_tpu import serving
+    from longterm360fov_tpu.config import get_preset
+    from longterm360fov_tpu.models import get_family
+
+    cfg = get_preset(args.preset)
+    fam = get_family(cfg.model_family)
+    params = fam.init(jax.random.PRNGKey(0), cfg.model)
+
+    t0 = time.time()
+    server = serving.serve_daemon(
+        params, cfg, fam, port=0,
+        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        with_tiles=not args.no_tiles, impl=args.impl,
+    )
+    print(f"warmup (all buckets): {time.time()-t0:.1f}s", file=sys.stderr)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    host, port = server.server_address
+
+    rng = np.random.default_rng(0)
+    past = rng.normal(size=(cfg.model.h_in, 3)).astype(np.float32)
+    past /= np.linalg.norm(past, axis=-1, keepdims=True)
+    payload = past.tolist()
+
+    lat = [[] for _ in range(args.clients)]
+    barrier = threading.Barrier(args.clients + 1)
+
+    def worker(i):
+        c = serving.FovClient(host, port)
+        try:
+            c.predict(payload)  # connection + first-dispatch warm
+            barrier.wait()
+            for _ in range(args.requests):
+                t = time.monotonic()
+                r = c.predict(payload)
+                lat[i].append(time.monotonic() - t)
+                assert "yaw" in r, r
+        finally:
+            c.close()
+
+    threads = [
+        threading.Thread(target=worker, args=(i,))
+        for i in range(args.clients)
+    ]
+    for t in threads:
+        t.start()
+    barrier.wait()
+    t0 = time.monotonic()
+    for t in threads:
+        t.join()
+    wall = time.monotonic() - t0
+
+    all_lat = np.sort(np.concatenate([np.asarray(x) for x in lat]))
+    n = args.clients * args.requests
+    pct = lambda q: round(float(all_lat[int(q * (len(all_lat) - 1))]) * 1e3, 2)
+    out = {
+        "preset": args.preset,
+        "impl": args.impl,
+        "platform": jax.default_backend(),
+        "clients": args.clients,
+        "requests": n,
+        "req_per_s": round(n / wall, 1),
+        "latency_ms_p50": pct(0.50),
+        "latency_ms_p95": pct(0.95),
+        "latency_ms_p99": pct(0.99),
+        "batcher": server.batcher.stats(),
+    }
+    print(json.dumps(out))
+    server.shutdown()
+    server.batcher.stop()
+
+
+if __name__ == "__main__":
+    main()
