@@ -357,6 +357,106 @@ def test_sessions_rolling_window():
 
 
 # -------------------------------------------------------------------------
+# online cross-user peer pool
+# -------------------------------------------------------------------------
+
+
+def test_peer_pool_coverage_and_reset():
+    pool = serving.PeerPool(h_out=4, k=2, max_history=10)
+    rng = np.random.default_rng(9)
+
+    def row(i):
+        return rng.normal(size=3).astype(np.float32)
+
+    # viewer A walks frames 0..11 (history cap 10 → keeps 2..11)
+    for f in range(12):
+        got_f = pool.observe("vid", "A", None, row(f))  # auto-contiguous
+        assert got_f == f
+    # B is at frame 3 → needs frames 4..7; A covers them
+    fut_mask = pool.peers_for("vid", "B", 3)
+    assert fut_mask is not None
+    fut, mask = fut_mask
+    assert fut.shape == (2, 4, 3) and list(mask) == [1.0, 0.0]
+    # B at frame 9 → needs 10..13; A only reaches 11 → no peer
+    assert pool.peers_for("vid", "B", 9) is None
+    # a viewer never sees itself as a peer
+    assert pool.peers_for("vid", "A", 3) is None
+    # history cap dropped frames 0..1
+    assert pool.peers_for("vid", "B", 0) is None  # needs 1..4, 1 dropped
+    # seek/rewind resets the history
+    pool.observe("vid", "A", 100, row(0))
+    assert pool.peers_for("vid", "B", 3) is None
+    st = pool.stats()
+    assert st == {"videos": 1, "tracked_viewers": 1}
+
+
+def test_push_with_live_peer_context():
+    """End to end: a viewer behind another on the same video predicts
+    WITH the ahead-viewer's observed path as peer futures, matching a
+    direct model call with the same context."""
+    cfg, fam, params = make_setup("cross_user")  # h_in=5, h_out=4, K=2
+    server = serving.serve_daemon(
+        params, cfg, fam, host="127.0.0.1", port=0,
+        max_batch=4, max_wait_ms=1.0, warmup=False,
+    )
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    host, port = server.server_address
+    client = serving.FovClient(host, port)
+    rng = np.random.default_rng(10)
+    try:
+        # viewer A streams frames 0..19 of video "v"
+        a_poses = [
+            [0.03 * f, 0.01 * np.sin(f / 3.0)] for f in range(20)
+        ]
+        for f, p in enumerate(a_poses):
+            client.push("A", p)  # no video → sessions only
+            r = client.request(
+                {"op": "push", "viewer": "A2", "pose": p, "video": "v",
+                 "frame": f}
+            )
+        # viewer B streams frames 0..4 → window completes at frame 4
+        b_poses = [[0.5 - 0.02 * f, -0.2 + 0.01 * f] for f in range(5)]
+        for f, p in enumerate(b_poses[:-1]):
+            r = client.request(
+                {"op": "push", "viewer": "B", "pose": p, "video": "v",
+                 "frame": f}
+            )
+            assert "pending" in r
+        r = client.request(
+            {"op": "push", "viewer": "B", "pose": b_poses[-1], "video": "v",
+             "frame": 4}
+        )
+        assert r.get("peers") == 1, r  # A2 is ahead; A never joined "v"
+
+        # reference: the same prediction built by hand
+        window = np.stack([serving.pose_to_xyz(p) for p in b_poses])
+        a_xyz = np.stack([serving.pose_to_xyz(p) for p in a_poses])
+        other = np.zeros((2, 4, 3), np.float32)
+        other[0] = a_xyz[5:9]  # frames 5..8 = B's horizon
+        mask = np.asarray([1.0, 0.0], np.float32)
+        direct = serving.make_serve_fn(params, cfg, fam, with_tiles=True)(
+            {
+                "past": jnp.asarray(window)[None],
+                "other_future": jnp.asarray(other)[None],
+                "other_mask": jnp.asarray(mask)[None],
+            }
+        )
+        np.testing.assert_allclose(
+            r["yaw"], np.asarray(direct["yaw"])[0], atol=1e-4
+        )
+        # and the peerless answer differs (context is actually used)
+        r_nopeer = client.predict(window.tolist())
+        assert not np.allclose(r["yaw"], r_nopeer["yaw"])
+        st = client.stats()
+        assert st["peer_pool"]["tracked_viewers"] == 2
+    finally:
+        client.close()
+        server.shutdown()
+        server.batcher.stop()
+
+
+# -------------------------------------------------------------------------
 # TCP server end to end
 # -------------------------------------------------------------------------
 
