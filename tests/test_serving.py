@@ -336,6 +336,41 @@ def test_mesh_sharded_daemon_matches_single_device():
 # -------------------------------------------------------------------------
 
 
+def test_transformer_family_daemon_serve():
+    """The transformer family serves through the same daemon plumbing:
+    peer extras (other_future/other_mask) thread through batch_extras
+    into cross-viewer attention; zero-fill ≡ no peers."""
+    cfg = tiny_cfg("transformer")
+    fam = get_family("transformer")
+    params = fam.init(jax.random.PRNGKey(0), cfg.model)
+    serve_fn = serving.make_serve_fn(params, cfg, fam, with_tiles=False)
+    specs = serving.extra_specs_for(cfg)
+    assert specs == {"other_future": (2, 4, 3), "other_mask": (2,)}
+    bat = serving.DynamicBatcher(
+        serve_fn, h_in=5, extra_specs=specs, max_batch=4, max_wait_ms=1.0
+    )
+    rng = np.random.default_rng(11)
+    past = random_past(rng)
+    peers = rng.normal(size=(2, 4, 3)).astype(np.float32)
+    try:
+        no_ctx = bat.predict(past)
+        with_ctx = bat.predict(past, other_future=peers)
+        assert not np.allclose(no_ctx["yaw"], with_ctx["yaw"])
+        # zero-fill ≡ the family's no-peer forward
+        from longterm360fov_tpu import infer
+
+        direct = infer.predict_batch(
+            params, cfg, fam.apply, jnp.asarray(past)[None], None,
+            fam.batch_extras,
+        )
+        from longterm360fov_tpu import geometry as G
+
+        yaw_ref = np.asarray(G.xyz_to_euler(direct)[0])[0]
+        np.testing.assert_allclose(no_ctx["yaw"], yaw_ref, atol=1e-4)
+    finally:
+        bat.stop()
+
+
 def test_sessions_rolling_window():
     s = serving.ViewerSessions(h_in=3)
     assert s.push("u", [0.0, 0.0]) is None
