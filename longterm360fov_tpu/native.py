@@ -86,3 +86,29 @@ def window_copy(
 
     wb = make_windows(np.asarray(trace, np.float32), h_in, h_out, stride)
     return wb.past, wb.future
+
+
+def window_fill(
+    trace: np.ndarray,
+    past_out: "np.ndarray | None",
+    future_out: np.ndarray,
+    h_in: int,
+    stride: int = 1,
+) -> None:
+    """Fill PREALLOCATED past/future window arrays in place (the
+    single-copy packed-dataset path — data.windows_from_store writes
+    each trace's windows straight into slices of the final arrays).
+    ``past_out=None`` fills only futures offset by ``h_in`` (peer path).
+    Outputs must be C-contiguous float32 (N, h, D); numpy fallback when
+    the extension isn't built (semantics parity-tested)."""
+    trace = np.ascontiguousarray(trace, np.float32)
+    if _fastio is not None:
+        _fastio.window_fill(trace, past_out, future_out, h_in, stride)
+        return
+    n, h_out = future_out.shape[0], future_out.shape[1]
+    win = np.lib.stride_tricks.sliding_window_view(
+        trace, h_in + h_out, axis=0
+    ).transpose(0, 2, 1)[::stride][:n]
+    if past_out is not None:
+        np.copyto(past_out, win[:, :h_in])
+    np.copyto(future_out, win[:, h_in:])

@@ -181,11 +181,97 @@ static PyObject *window_copy(PyObject *self, PyObject *args) {
   return Py_BuildValue("(NN)", past, future);
 }
 
+/* window_fill(trace, past_or_None, future, h_in, stride=1)
+ *
+ * Like window_copy but writes into PREALLOCATED C-contiguous float32
+ * outputs — the single-copy packed-dataset path (data.windows_from_store
+ * fills slices of the final arrays directly; no intermediates, no
+ * concatenate). With past=None only the futures are filled, offset by
+ * h_in — the peer-future path, which needs no past windows. */
+static PyObject *window_fill(PyObject *self, PyObject *args) {
+  PyObject *in_obj, *past_obj, *future_obj;
+  Py_ssize_t h_in, stride = 1;
+  if (!PyArg_ParseTuple(args, "OOOn|n", &in_obj, &past_obj, &future_obj,
+                        &h_in, &stride))
+    return NULL;
+  if (stride < 1 || h_in < 1) {
+    PyErr_SetString(PyExc_ValueError, "h_in and stride must be >= 1");
+    return NULL;
+  }
+  PyArrayObject *tr = (PyArrayObject *)PyArray_FROM_OTF(
+      in_obj, NPY_FLOAT32, NPY_ARRAY_C_CONTIGUOUS | NPY_ARRAY_ALIGNED);
+  if (!tr) return NULL;
+  PyArrayObject *past = NULL;
+  if (past_obj != Py_None) {
+    if (!PyArray_Check(past_obj)) {
+      Py_DECREF(tr);
+      PyErr_SetString(PyExc_TypeError, "past must be an ndarray or None");
+      return NULL;
+    }
+    past = (PyArrayObject *)past_obj;
+  }
+  if (!PyArray_Check(future_obj)) {
+    Py_DECREF(tr);
+    PyErr_SetString(PyExc_TypeError, "future must be an ndarray");
+    return NULL;
+  }
+  PyArrayObject *future = (PyArrayObject *)future_obj;
+  /* validate outputs: 3-D float32 C-contiguous writable (N, h, D) */
+  PyArrayObject *outs[2] = {past, future};
+  for (int j = 0; j < 2; j++) {
+    PyArrayObject *o = outs[j];
+    if (!o) continue;
+    if (PyArray_TYPE(o) != NPY_FLOAT32 || PyArray_NDIM(o) != 3 ||
+        !PyArray_IS_C_CONTIGUOUS(o) || !PyArray_ISWRITEABLE(o)) {
+      Py_DECREF(tr);
+      PyErr_SetString(PyExc_ValueError,
+                      "outputs must be writable C-contiguous float32 (N,h,D)");
+      return NULL;
+    }
+  }
+  if (PyArray_NDIM(tr) != 2) {
+    Py_DECREF(tr);
+    PyErr_SetString(PyExc_ValueError, "trace must be (T, D)");
+    return NULL;
+  }
+  Py_ssize_t t = PyArray_DIM(tr, 0), d = PyArray_DIM(tr, 1);
+  Py_ssize_t n = PyArray_DIM(future, 0), h_out = PyArray_DIM(future, 1);
+  if (PyArray_DIM(future, 2) != d ||
+      (past && (PyArray_DIM(past, 0) != n || PyArray_DIM(past, 1) != h_in ||
+                PyArray_DIM(past, 2) != d))) {
+    Py_DECREF(tr);
+    PyErr_SetString(PyExc_ValueError, "shape mismatch between trace/outputs");
+    return NULL;
+  }
+  if (n > 0 && (n - 1) * stride + h_in + h_out > t) {
+    Py_DECREF(tr);
+    PyErr_Format(PyExc_ValueError,
+                 "trace length %zd too short for %zd windows", t, n);
+    return NULL;
+  }
+  const float *src = (const float *)PyArray_DATA(tr);
+  float *pp = past ? (float *)PyArray_DATA(past) : NULL;
+  float *ff = (float *)PyArray_DATA(future);
+  size_t row_in = (size_t)(h_in * d), row_out = (size_t)(h_out * d);
+  Py_BEGIN_ALLOW_THREADS
+  for (Py_ssize_t i = 0; i < n; i++) {
+    const float *base = src + (size_t)(i * stride) * (size_t)d;
+    if (pp) memcpy(pp + (size_t)i * row_in, base, row_in * sizeof(float));
+    memcpy(ff + (size_t)i * row_out, base + row_in, row_out * sizeof(float));
+  }
+  Py_END_ALLOW_THREADS
+  Py_DECREF(tr);
+  Py_RETURN_NONE;
+}
+
 static PyMethodDef methods[] = {
     {"parse_trace", parse_trace, METH_VARARGS,
      "parse_trace(data: bytes, n_cols: int = 0) -> float32 (rows, cols)"},
     {"window_copy", window_copy, METH_VARARGS,
      "window_copy(trace (T,D) f32, h_in, h_out, stride=1) -> (past, future)"},
+    {"window_fill", window_fill, METH_VARARGS,
+     "window_fill(trace (T,D) f32, past (N,h_in,D)|None, future (N,h_out,D), "
+     "h_in, stride=1) -> None (fills outputs in place)"},
     {NULL, NULL, 0, NULL}};
 
 static struct PyModuleDef mod = {PyModuleDef_HEAD_INIT, "_fastio",

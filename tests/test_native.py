@@ -94,3 +94,46 @@ def test_parse_trace_rejects_bad_n_cols():
     for bad in (-1, 65):
         with pytest.raises(ValueError):
             N.parse_trace_bytes(b"1 2 3\n", n_cols=bad)
+
+
+def test_window_fill_native_fallback_parity_and_peer_path():
+    rng = np.random.default_rng(3)
+    trace = rng.normal(size=(60, 3)).astype(np.float32)
+    for stride in (1, 2, 5):
+        wb = make_windows(trace, 7, 9, stride)
+        n = len(wb.past)
+        past = np.empty((n, 7, 3), np.float32)
+        fut = np.empty((n, 9, 3), np.float32)
+        N.window_fill(trace, past, fut, 7, stride)
+        np.testing.assert_array_equal(past, wb.past)
+        np.testing.assert_array_equal(fut, wb.future)
+        # peer path: futures only
+        fut2 = np.empty((n, 9, 3), np.float32)
+        N.window_fill(trace, None, fut2, 7, stride)
+        np.testing.assert_array_equal(fut2, wb.future)
+        # numpy fallback agrees regardless of whether the .so is built
+        past3 = np.empty((n, 7, 3), np.float32)
+        fut3 = np.empty((n, 9, 3), np.float32)
+        saved = N._fastio
+        try:
+            N._fastio = None
+            N.window_fill(trace, past3, fut3, 7, stride)
+        finally:
+            N._fastio = saved
+        np.testing.assert_array_equal(past3, wb.past)
+        np.testing.assert_array_equal(fut3, wb.future)
+
+
+def test_window_fill_rejects_bad_shapes():
+    if N._fastio is None:
+        pytest.skip("native extension not built")
+    trace = np.zeros((20, 3), np.float32)
+    with pytest.raises(ValueError):
+        # 19 windows need length 19+7+9-1=34 > 20
+        N.window_fill(trace, None, np.empty((19, 9, 3), np.float32), 7, 1)
+    with pytest.raises(ValueError):
+        N.window_fill(trace, np.empty((2, 7, 2), np.float32),
+                      np.empty((2, 9, 3), np.float32), 7, 1)
+    with pytest.raises(ValueError):  # non-contiguous output
+        big = np.empty((4, 9, 6), np.float32)
+        N.window_fill(trace, None, big[:, :, :3], 7, 1)
