@@ -162,7 +162,10 @@ def _build_parser() -> argparse.ArgumentParser:
     sd.add_argument("--tile-rows", type=int, default=6)
     sd.add_argument("--tile-cols", type=int, default=12)
     sd.add_argument("--fov", type=float, default=90.0)
-    sd.add_argument("--impl", default="xla", choices=("xla", "fused"))
+    sd.add_argument(
+        "--impl", default="auto", choices=("auto", "xla", "fused"),
+        help="auto = fused Pallas tier on real TPU, XLA scan elsewhere",
+    )
     sd.add_argument(
         "--data-parallel", action="store_true",
         help="shard every dispatch over all local chips ('data' mesh "

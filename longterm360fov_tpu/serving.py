@@ -126,6 +126,11 @@ def make_serve_fn(
     from .train import default_extras
 
     extras_fn = getattr(fam, "batch_extras", None) or default_extras
+    if impl == "auto":
+        # fused Pallas tiers are the fast path on real TPU; off-TPU they
+        # would run in interpret mode (orders of magnitude slower), so
+        # resolve by backend at build time
+        impl = "fused" if jax.default_backend() == "tpu" else "xla"
     fused_entry = None
     if impl == "fused":
         fused_entry = getattr(fam, "serve_fused", None)
