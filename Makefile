@@ -1,6 +1,9 @@
 # Common targets. TPU targets need the chip free (one process at a time).
 
-.PHONY: test bench smoke experiments native clean
+.PHONY: test bench smoke experiments native demo clean
+
+demo:  ## end-to-end on CPU: synth data -> train -> eval -> export -> online daemon
+	python scripts/demo.py
 
 test:
 	python -m pytest tests/ -x -q
