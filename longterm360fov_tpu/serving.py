@@ -299,6 +299,7 @@ class DynamicBatcher:
         max_batch: int = 256,
         max_wait_ms: float = 2.0,
         divisor: int = 1,
+        max_queue: Optional[int] = None,
     ):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
@@ -314,11 +315,18 @@ class DynamicBatcher:
         self.divisor = int(divisor)
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1e3
-        self._q: "queue.Queue[Optional[_Pending]]" = queue.Queue()
+        # admission control: a bounded queue turns overload into an
+        # immediate "overloaded" rejection instead of unbounded latency
+        # (default depth: 8 saturated batches of headroom)
+        self.max_queue = int(max_queue) if max_queue else 8 * self.max_batch
+        self._q: "queue.Queue[Optional[_Pending]]" = queue.Queue(
+            maxsize=self.max_queue + 1  # +1 slot reserved for the sentinel
+        )
         self._lock = threading.Lock()
         # metrics
         self.n_requests = 0
         self.n_batches = 0
+        self.n_rejected = 0
         self.rows_padded = 0
         self.rows_total = 0
         self._latencies = deque(maxlen=2048)
@@ -385,7 +393,17 @@ class DynamicBatcher:
         if self._stopped:
             raise RuntimeError("batcher is stopped")
         p = _Pending(arrays)
-        self._q.put(p)
+        try:
+            if self._q.qsize() >= self.max_queue:
+                raise queue.Full
+            self._q.put_nowait(p)
+        except queue.Full:
+            with self._lock:
+                self.n_rejected += 1
+            raise RuntimeError(
+                f"overloaded: {self.max_queue} requests already queued "
+                f"(retry with backoff)"
+            ) from None
         return p
 
     def predict(self, past: np.ndarray, timeout: float = 30.0, **extras):
@@ -464,6 +482,8 @@ class DynamicBatcher:
             )
             return {
                 "requests": self.n_requests,
+                "rejected": self.n_rejected,
+                "queue_depth": self._q.qsize(),
                 "batches": self.n_batches,
                 "mean_batch": round(self.n_requests / max(self.n_batches, 1), 2),
                 "pad_fraction": round(

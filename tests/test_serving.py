@@ -12,6 +12,7 @@ Covers the serving runtime (serving.py) end to end on CPU:
 
 import json
 import threading
+import time
 
 import jax
 import jax.numpy as jnp
@@ -257,6 +258,43 @@ def test_euler_np_twin_matches_canonical():
         np.asarray(euler_to_xyz(jnp.asarray(yaw), jnp.asarray(pitch))),
         atol=1e-6,
     )
+
+
+def test_overload_rejection():
+    """Admission control: once max_queue requests are waiting, submit
+    rejects immediately instead of growing latency unboundedly."""
+    import queue as _q
+
+    release = threading.Event()
+
+    def slow_serve(batch):
+        release.wait(10)
+        return {"yaw": np.zeros((batch["past"].shape[0], 4), np.float32)}
+
+    bat = serving.DynamicBatcher(
+        slow_serve, h_in=5, max_batch=1, max_wait_ms=0.0, max_queue=3
+    )
+    past = np.zeros((5, 3), np.float32)
+    past[..., 0] = 1.0
+    try:
+        # first request gets picked up by the dispatcher (queue drains)
+        pending = [bat.submit(past)]
+        deadline = time.monotonic() + 10
+        while bat._q.qsize() > 0 and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert bat._q.qsize() == 0, "dispatcher never picked up request 1"
+        # now the dispatcher is blocked in slow_serve: fill the queue
+        for _ in range(3):
+            pending.append(bat.submit(past))
+        with pytest.raises(RuntimeError, match="overloaded"):
+            bat.submit(past)
+        assert bat.stats()["rejected"] == 1
+        release.set()
+        for p in pending:
+            assert p.event.wait(30)
+    finally:
+        release.set()
+        bat.stop()
 
 
 def test_stopped_batcher_fails_fast():
