@@ -43,7 +43,7 @@ import socket
 import socketserver
 import threading
 import time
-from collections import deque
+from collections import OrderedDict, deque
 from typing import Callable, Dict, Optional, Tuple
 
 import numpy as np
@@ -241,7 +241,7 @@ def load_exported_params(npz_path: str, cfg, fam):
     skeleton = fam.init(jax.random.PRNGKey(0), cfg.model)
     loaded = np.load(npz_path)
     treedef = jax.tree_util.tree_structure(skeleton)
-    keys = []
+    keys = set()
     leaves = []
     for key, leaf in flat_param_items(skeleton):
         if key not in loaded.files:
@@ -255,9 +255,9 @@ def load_exported_params(npz_path: str, cfg, fam):
                 f"param {key!r}: npz shape {arr.shape} != model shape "
                 f"{leaf.shape} (wrong preset/architecture)"
             )
-        keys.append(key)
+        keys.add(key)
         leaves.append(jnp.asarray(arr, leaf.dtype))
-    extra = set(loaded.files) - set(keys)
+    extra = set(loaded.files) - keys
     if extra:
         raise KeyError(f"exported npz has unknown params: {sorted(extra)}")
     return jax.tree_util.tree_unflatten(treedef, leaves)
@@ -517,19 +517,15 @@ class DynamicBatcher:
 # --------------------------------------------------------------------------
 
 
-def _euler_to_xyz_np(yaw: float, pitch: float) -> np.ndarray:
-    # delegate to geometry's canonical-convention numpy twin (lazy import
-    # keeps `import serving` light for host-only tooling)
-    from .geometry import euler_to_xyz_np
-
-    return euler_to_xyz_np(yaw, pitch)
-
-
 def pose_to_xyz(pose) -> np.ndarray:
     """[yaw, pitch] radians or [x, y, z] (renormalized) → unit xyz."""
     pose = np.asarray(pose, np.float32)
     if pose.shape == (2,):
-        return _euler_to_xyz_np(float(pose[0]), float(pose[1]))
+        # geometry's canonical-convention numpy twin (lazy import keeps
+        # `import serving` light for host-only tooling)
+        from .geometry import euler_to_xyz_np
+
+        return euler_to_xyz_np(float(pose[0]), float(pose[1]))
     if pose.shape == (3,):
         n = float(np.linalg.norm(pose))
         if n < 1e-6:
@@ -552,8 +548,6 @@ class ViewerSessions:
     new viewers out of a long-running daemon forever)."""
 
     def __init__(self, h_in: int, max_viewers: int = 100_000):
-        from collections import OrderedDict
-
         self.h_in = int(h_in)
         self.max_viewers = int(max_viewers)
         self.n_evicted = 0
@@ -614,8 +608,6 @@ class PeerPool:
         max_history: int = 8192,
         max_viewers_per_video: int = 4096,
     ):
-        from collections import OrderedDict
-
         self.h_out = int(h_out)
         self.k = int(k)
         self.max_history = int(max_history)
@@ -623,7 +615,6 @@ class PeerPool:
         self._lock = threading.Lock()
         # video -> OrderedDict(viewer -> [start_frame, list[xyz rows]])
         self._videos: Dict[str, "OrderedDict"] = {}
-        self._OrderedDict = OrderedDict
 
     def observe(
         self, video: str, viewer: str, frame: Optional[int], xyz: np.ndarray
@@ -633,7 +624,7 @@ class PeerPool:
         append; a gap or rewind restarts the viewer's history at the new
         position (seeks are normal in VoD). Returns the frame recorded."""
         with self._lock:
-            vid = self._videos.setdefault(video, self._OrderedDict())
+            vid = self._videos.setdefault(video, OrderedDict())
             ent = vid.get(viewer)
             if ent is None:
                 while len(vid) >= self.max_viewers_per_video:
