@@ -724,6 +724,12 @@ class FovServer(socketserver.ThreadingTCPServer):
                                                   conditions on viewers
                                                   AHEAD in that video
                                                   ("peers": how many)
+      {"op": "predict_batch", "id", "past": [[[x,y,z] × h_in] × N],
+       extras? batched likewise}                → N predictions in one
+                                                  round trip (gateway
+                                                  bulk path; windows
+                                                  still coalesce in the
+                                                  shared batcher)
       {"op": "stats", "id"}                     → batcher + session stats
       {"op": "drop", "id", "viewer"}            → forget a session
       {"op": "reload", "id", "path": npz}       → hot-swap params from an
@@ -777,6 +783,49 @@ class FovServer(socketserver.ThreadingTCPServer):
                 **extras,
             )
             return self._prediction(rid, res)
+        if op == "predict_batch":
+            # bulk path for gateway-style clients: one line carries N
+            # windows (and optional per-window extras), one reply carries
+            # N predictions. Each window still rides the shared batcher,
+            # so bulk and single-viewer traffic coalesce together.
+            pasts = np.asarray(req["past"], np.float32)
+            if pasts.ndim != 3:
+                raise ValueError(
+                    f"predict_batch past must be (N, h_in, 3), got "
+                    f"shape {pasts.shape}"
+                )
+            extras_all = {
+                k: np.asarray(req[k], np.float32)
+                for k in self.batcher.extra_specs
+                if req.get(k) is not None
+            }
+            pending = [
+                self.batcher.submit(
+                    pasts[i], **{k: v[i] for k, v in extras_all.items()}
+                )
+                for i in range(pasts.shape[0])
+            ]
+            preds = []
+            deadline = time.monotonic() + self.request_timeout
+            for p in pending:
+                if not p.event.wait(max(deadline - time.monotonic(), 0)):
+                    raise TimeoutError("prediction timed out")
+                if p.error is not None:
+                    raise p.error
+                preds.append(p.result)
+            out = {
+                "id": rid,
+                "yaw": [[round(float(v), 6) for v in r["yaw"]] for r in preds],
+                "pitch": [
+                    [round(float(v), 6) for v in r["pitch"]] for r in preds
+                ],
+            }
+            if preds and "prefetch" in preds[0]:
+                out["prefetch"] = [
+                    [int(i) for i in np.nonzero(r["prefetch"])[0]]
+                    for r in preds
+                ]
+            return out
         if op == "push":
             viewer = str(req["viewer"])
             xyz = pose_to_xyz(req["pose"])

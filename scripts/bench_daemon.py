@@ -32,9 +32,15 @@ def main():
     ap.add_argument("--requests", type=int, default=20, help="per client")
     ap.add_argument("--max-batch", type=int, default=256)
     ap.add_argument("--max-wait-ms", type=float, default=2.0)
-    ap.add_argument("--impl", default="xla", choices=("xla", "fused"))
+    ap.add_argument("--impl", default="xla", choices=("auto", "xla", "fused"))
     ap.add_argument("--cpu", action="store_true", help="pin the CPU platform")
     ap.add_argument("--no-tiles", action="store_true")
+    ap.add_argument(
+        "--bulk", type=int, default=0,
+        help="N>0: each request is a predict_batch of N windows "
+        "(gateway bulk path — measures device-bound throughput without "
+        "per-request JSON overhead)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -61,9 +67,11 @@ def main():
     host, port = server.server_address
 
     rng = np.random.default_rng(0)
-    past = rng.normal(size=(cfg.model.h_in, 3)).astype(np.float32)
+    past = rng.normal(
+        size=(max(args.bulk, 1), cfg.model.h_in, 3)
+    ).astype(np.float32)
     past /= np.linalg.norm(past, axis=-1, keepdims=True)
-    payload = past.tolist()
+    payload = past.tolist() if args.bulk else past[0].tolist()
 
     lat = [[] for _ in range(args.clients)]
     barrier = threading.Barrier(args.clients + 1)
@@ -71,6 +79,16 @@ def main():
     def worker(i):
         c = serving.FovClient(host, port)
         try:
+            if args.bulk:
+                req = {"op": "predict_batch", "past": payload}
+                c.request(req)  # warm
+                barrier.wait()
+                for _ in range(args.requests):
+                    t = time.monotonic()
+                    r = c.request(req)
+                    lat[i].append(time.monotonic() - t)
+                    assert "yaw" in r, r
+                return
             c.predict(payload)  # connection + first-dispatch warm
             barrier.wait()
             for _ in range(args.requests):
@@ -102,7 +120,9 @@ def main():
         "platform": jax.default_backend(),
         "clients": args.clients,
         "requests": n,
+        "bulk": args.bulk,
         "req_per_s": round(n / wall, 1),
+        "windows_per_s": round(n * max(args.bulk, 1) / wall, 1),
         "latency_ms_p50": pct(0.50),
         "latency_ms_p95": pct(0.95),
         "latency_ms_p99": pct(0.99),

@@ -674,6 +674,31 @@ def test_server_hot_reload(live_server, tmp_path):
         client.close()
 
 
+def test_server_predict_batch_bulk(live_server):
+    """Bulk op: N windows in one round trip match N single predicts."""
+    server, cfg, fam, params = live_server
+    host, port = server.server_address
+    rng = np.random.default_rng(12)
+    pasts = random_past(rng, 5)
+    client = serving.FovClient(host, port)
+    try:
+        bulk = client.request(
+            {"op": "predict_batch", "past": pasts.tolist()}
+        )
+        assert "error" not in bulk, bulk
+        assert len(bulk["yaw"]) == 5 and len(bulk["prefetch"]) == 5
+        for i in range(5):
+            single = client.predict(pasts[i].tolist())
+            np.testing.assert_allclose(
+                bulk["yaw"][i], single["yaw"], atol=1e-5
+            )
+            assert bulk["prefetch"][i] == single["prefetch"]
+        bad = client.request({"op": "predict_batch", "past": [[1, 0, 0]]})
+        assert "error" in bad
+    finally:
+        client.close()
+
+
 def test_server_error_reply_keeps_connection(live_server):
     server, _, _, _ = live_server
     host, port = server.server_address
