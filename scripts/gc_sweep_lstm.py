@@ -85,7 +85,7 @@ def main():
                     "steps": args.steps,
                     "platform": "cpu-controlled",
                     "mean_deg": res["mean_deg"],
-                    "final_deg": res["final_deg"],
+                    "final_deg": res["final_step_deg"],
                     "train_s": round(time.time() - t0, 1),
                     "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
                 }
