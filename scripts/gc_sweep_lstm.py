@@ -30,6 +30,12 @@ def main():
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--gc", default="0.0,0.3")
+    ap.add_argument(
+        "--ss-end", type=float, default=None,
+        help="override the scheduled-sampling end probability (preset "
+        "anneals to 0.0 = fully autoregressive; the transformer recipe "
+        "keeps 0.3-0.5 of the teacher signal)",
+    )
     ap.add_argument("--log", default=os.path.join(ROOT, "experiments.jsonl"))
     args = ap.parse_args()
 
@@ -64,10 +70,13 @@ def main():
         for gc in [float(x) for x in args.gc.split(",")]:
             means = []
             for seed in range(args.seeds):
-                cfg = base.replace(
+                over = dict(
                     steps=args.steps, eval_every=args.steps,
                     gc_weight=gc, seed=seed,
                 )
+                if args.ss_end is not None:
+                    over["ss_end"] = args.ss_end
+                cfg = base.replace(**over)
                 t0 = time.time()
                 state, _ = train.train_loop(
                     cfg, fam.init, fam.apply, trd, extras_fn=extras,
@@ -77,10 +86,13 @@ def main():
                 res = E.evaluate(
                     state.params, cfg, fam.apply, ted, extras_fn=extras
                 )
+                tag = (f"-ss{args.ss_end}" if args.ss_end is not None
+                       else "")
                 row = {
-                    "name": f"{args.preset}-gc{gc}-s{seed}",
+                    "name": f"{args.preset}-gc{gc}{tag}-s{seed}",
                     "kind": "gc_sweep_lstm",
                     "gc_weight": gc,
+                    "ss_end": args.ss_end,
                     "seed": seed,
                     "steps": args.steps,
                     "platform": "cpu-controlled",
