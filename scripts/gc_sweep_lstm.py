@@ -36,6 +36,11 @@ def main():
         "anneals to 0.0 = fully autoregressive; the transformer recipe "
         "keeps 0.3-0.5 of the teacher signal)",
     )
+    ap.add_argument(
+        "--k", type=int, default=None,
+        help="override the cross-user context size K (peers per viewer; "
+        "preset K=4; the 8-viewer synthetic store supports up to 7)",
+    )
     ap.add_argument("--log", default=os.path.join(ROOT, "experiments.jsonl"))
     args = ap.parse_args()
 
@@ -53,6 +58,8 @@ def main():
         n_users=8, n_videos=2, n_frames=1500, rate_hz=10.0, seed=0
     )
     base = get_preset(args.preset)
+    if args.k is not None:
+        base = base.replace(n_other_users=args.k)
     fam = get_family(base.model_family)
     n_peers = (
         base.n_other_users
@@ -88,11 +95,14 @@ def main():
                 )
                 tag = (f"-ss{args.ss_end}" if args.ss_end is not None
                        else "")
+                if args.k is not None:
+                    tag += f"-k{args.k}"
                 row = {
                     "name": f"{args.preset}-gc{gc}{tag}-s{seed}",
                     "kind": "gc_sweep_lstm",
                     "gc_weight": gc,
                     "ss_end": args.ss_end,
+                    "k": base.n_other_users,
                     "seed": seed,
                     "steps": args.steps,
                     "platform": "cpu-controlled",
