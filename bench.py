@@ -294,7 +294,17 @@ def main():
     log(f"cpu oracle: {cpu_thr:,.0f} traj/s")
     _result["error"] = "no TPU tier completed"
 
-    if relay_tunnel_up() is False:
+    tunnel = relay_tunnel_up()
+    if tunnel is False:
+        # ride out a transient outage: the tunnel daemon is restarted by
+        # the external orchestrator, so a blip at bench launch time need
+        # not zero the round — poll for its return, bounded so the down
+        # case still emits well inside DEADLINE_S
+        log("relay tunnel DOWN — polling up to 150s for it to return")
+        while tunnel is False and time.time() - _T0 < 150:
+            time.sleep(5)
+            tunnel = relay_tunnel_up()
+    if tunnel is False:
         log("relay tunnel DOWN (no relay port listening) — skipping "
             "TPU children; emitting oracle-only result")
         _result["error"] = "TPU relay tunnel down (no relay port listening)"
