@@ -88,6 +88,13 @@ def _build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--tb-dir", help="TensorBoard scalar log dir (optional)")
     tr.add_argument("--resume", action="store_true")
     tr.add_argument("--data-parallel", action="store_true")
+    tr.add_argument(
+        "--seq-parallel", type=int, default=0, metavar="N",
+        help="shard the transformer training horizon over N devices via "
+        "ring attention (parallel.sp); remaining devices auto-fill a "
+        "'data' mesh axis. Transformer family only — LSTM recurrence "
+        "is O(1) state and needs no SP",
+    )
     tr.add_argument("--bf16", action="store_true", help="bfloat16 params/compute")
 
     ev = sub.add_parser("eval", help="evaluate a checkpoint")
@@ -331,6 +338,27 @@ def cmd_train(args):
         over["model_param_dtype"] = "bfloat16"
     cfg = get_preset(args.preset, **over)
     fam = get_family(cfg.model_family)
+    sp_mesh = None
+    if args.seq_parallel:
+        if cfg.model_family != "transformer":
+            raise SystemExit(
+                "--seq-parallel applies to the transformer family only "
+                "(LSTM recurrence carries O(1) state over any horizon)"
+            )
+        if cfg.data_parallel:
+            raise SystemExit(
+                "--seq-parallel already composes with data parallelism "
+                "(spare devices auto-fill the 'data' mesh axis); drop "
+                "--data-parallel"
+            )
+        if cfg.model.h_out % args.seq_parallel:
+            raise SystemExit(
+                f"horizon {cfg.model.h_out} not divisible by "
+                f"--seq-parallel {args.seq_parallel}"
+            )
+        from .parallel.sp import make_sp_mesh
+
+        sp_mesh = make_sp_mesh(args.seq_parallel)
     train_d, test_d = _load_or_synth_data(args, cfg)
     h_in, h_out = train_d["past"].shape[1], train_d["future"].shape[1]
     if (h_in, h_out) != (cfg.model.h_in, cfg.model.h_out):
@@ -372,6 +400,16 @@ def cmd_train(args):
     extras_fn = getattr(fam, "batch_extras", None)
     fused_tf_fn = getattr(fam, "apply_fused_tf", None)
     fused_ss_fn = getattr(fam, "apply_fused_ss", None)
+    apply_fn = fam.apply
+    if sp_mesh is not None:
+        from .parallel.sp import sp_apply_fn
+
+        apply_fn = sp_apply_fn(sp_mesh)
+        fused_tf_fn = fused_ss_fn = None
+        print(
+            f"sequence parallelism: horizon {cfg.model.h_out} ring-"
+            f"sharded over mesh {dict(sp_mesh.shape)}"
+        )
     if cfg.data_parallel:
         from .parallel import train_loop_dp
 
@@ -384,7 +422,7 @@ def cmd_train(args):
         )
     else:
         state, history = TR.train_loop(
-            cfg, fam.init, fam.apply, train_d,
+            cfg, fam.init, apply_fn, train_d,
             eval_data=test_d or None, log_file=args.log_file,
             tb_dir=args.tb_dir,
             checkpoint_dir=args.ckpt_dir, state=state, extras_fn=extras_fn,

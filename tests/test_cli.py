@@ -67,6 +67,44 @@ def test_train_data_parallel(tmp_path, capsys):
     assert np.isfinite(metrics["loss"])
 
 
+def test_train_seq_parallel(tmp_path, capsys):
+    """--seq-parallel rides the ring-attention SP path (parallel.sp):
+    transformer horizon sharded over 'seq', spare devices on 'data'."""
+    import pytest
+
+    data = str(tmp_path / "win.npz")
+    cli.main(
+        [
+            "prepare-data", "--out", data,
+            "--h-in", "30", "--h-out", "30",
+            "--n-users", "2", "--n-videos", "1", "--n-frames", "300",
+        ]
+    )
+    capsys.readouterr()
+    cli.main(
+        [
+            "train", "--preset", "transformer-30", "--data", data,
+            "--steps", "2", "--batch-size", "8", "--seq-parallel", "2",
+        ]
+    )
+    out = capsys.readouterr().out.strip().splitlines()
+    assert any("sequence parallelism" in ln for ln in out)
+    metrics = json.loads(out[-1])
+    assert np.isfinite(metrics["loss"])
+
+    # guard rails: LSTM family and non-divisible horizons refuse
+    with pytest.raises(SystemExit, match="transformer family only"):
+        cli.main(
+            ["train", "--preset", "lstm-xyz-10", "--data", data,
+             "--steps", "1", "--seq-parallel", "2"]
+        )
+    with pytest.raises(SystemExit, match="not divisible"):
+        cli.main(
+            ["train", "--preset", "transformer-30", "--data", data,
+             "--steps", "1", "--seq-parallel", "4"]
+        )
+
+
 def test_eval_uses_paired_test_split(tmp_path):
     from longterm360fov_tpu.config import get_preset
 
