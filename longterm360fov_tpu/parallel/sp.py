@@ -31,12 +31,17 @@ Mechanics, per decoder layer:
   T). ``impl="gather"`` is the measured alternative for short
   horizons: one ``all_gather`` of K/V then a single masked attention —
   fewer collectives, T× the key memory.
-* cross/peer attention — encoder memory and peer tokens are computed
-  OUTSIDE the shard_map (batch-sharded over 'data' by GSPMD, tiny vs
-  the horizon) and enter replicated along 'seq'; local queries attend
-  to the full replicated keys, which is exact. The peer temporal
-  window mask (cfg.peer_window) offsets its query positions by the
-  device's global slice start.
+* encoder — when the past length also divides the seq axis, its
+  bidirectional (T_in x T_in) self-attention shards the same way
+  (non-causal ring attention) and the encoded memory is all_gathered
+  once for the decoder's cross-attention; otherwise the encoder runs
+  replicated outside the shard_map.
+* cross/peer attention — peer tokens are per-token projections (no
+  quadratic term) computed OUTSIDE the shard_map (batch-sharded over
+  'data' by GSPMD) and enter replicated along 'seq'; local queries
+  attend to the full replicated keys, which is exact. The peer
+  temporal window mask (cfg.peer_window) offsets its query positions
+  by the device's global slice start.
 
 Composition: the mesh may be 1-D ``('seq',)`` or 2-D
 ``('data', 'seq')`` — batch DP rides GSPMD sharding outside the
@@ -77,13 +82,16 @@ def ring_self_attention(
     axis_name: str,
     n_shards: int,
     impl: str = "ring",
+    causal: bool = True,
 ) -> jax.Array:
-    """Causal multi-head self-attention over a time-sharded sequence.
+    """Multi-head self-attention over a time-sharded sequence.
 
     ``x_ln``: (B, Tc, H) — this device's already-layernormed slice of
     the T = n_shards·Tc token sequence. Must run inside shard_map over
     ``axis_name``. Returns the (B, Tc, H) attention output (wo applied),
-    bit-compatible with dense causal attention up to f32 rounding.
+    bit-compatible with dense attention up to f32 rounding.
+    ``causal=False`` is the encoder case (bidirectional): every block
+    is fully valid, only the softmax normalization spans the ring.
     """
     q = T._split_heads(
         jnp.dot(x_ln, p["wq"], preferred_element_type=jnp.float32)
@@ -104,8 +112,9 @@ def ring_self_attention(
         v_all = lax.all_gather(v, axis_name, axis=2, tiled=True)
         k_pos = jnp.arange(n_shards * tc)
         logits = jnp.einsum("bnqd,bnkd->bnqk", q, k_all) * scale
-        valid = k_pos[None, :] <= q_pos[:, None]
-        logits = jnp.where(valid[None, None], logits, _NEG)
+        if causal:
+            valid = k_pos[None, :] <= q_pos[:, None]
+            logits = jnp.where(valid[None, None], logits, _NEG)
         w = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum("bnqk,bnkd->bnqd", w, v_all)
         return jnp.dot(
@@ -130,8 +139,9 @@ def ring_self_attention(
         logits = (
             jnp.einsum("bnqd,bnkd->bnqk", q, k_blk) * scale
         )  # (B, N, Tc, Tc)
-        valid = k_pos[None, :] <= q_pos[:, None]
-        logits = jnp.where(valid[None, None], logits, _NEG)
+        if causal:
+            valid = k_pos[None, :] <= q_pos[:, None]
+            logits = jnp.where(valid[None, None], logits, _NEG)
         # online softmax: every query row sees its diagonal in block
         # j=0 (src == i), so m is finite from the first fold and the
         # all-masked-row corner (exp(0) garbage) never survives it.
@@ -213,10 +223,23 @@ def sp_decode(
     if t % n_seq:
         raise ValueError(f"horizon {t} not divisible by seq axis {n_seq}")
 
-    # Replicated-along-'seq' prep: encoder + peer tokens + teacher
-    # inputs. Batch-sharded over 'data' by GSPMD when present; tiny
-    # next to the horizon-quadratic self-attention being sharded.
-    enc_mem = T._encode(params, cfg, past_n)
+    # Encoder: when the PAST length also divides the seq axis, its
+    # (T_in x T_in) bidirectional self-attention shards too — non-causal
+    # ring attention over the same axis, then one all_gather of the
+    # encoded memory (every decoder position cross-attends to all of
+    # it). Otherwise the encoder runs replicated outside the shard_map
+    # (exact; it is the smaller quadratic except at the 100-frame
+    # preset, whose h_in == h_out divides whenever the horizon does).
+    t_in = past_n.shape[1]
+    enc_sharded = t_in % n_seq == 0
+    if enc_sharded:
+        enc_arg = past_n.astype(cfg.dtype)  # raw tokens, seq-sharded
+        pos_in_full = T._pos_enc(t_in, cfg.hidden)
+    else:
+        enc_arg = T._encode(params, cfg, past_n)
+    # Peer tokens + teacher inputs stay replicated along 'seq'
+    # (batch-sharded over 'data' by GSPMD when present): per-token
+    # projections only, no quadratic term.
     peer_mem = peer_valid = None
     if other_future_n is not None:
         peer_mem, peer_valid = T._peer_tokens(
@@ -235,8 +258,22 @@ def sp_decode(
     pos_full = T._pos_enc(t, cfg.hidden)
     da = _data_axis(mesh)
 
-    def local(params, tok, enc, pm, pv):
+    def local(params, tok, enc_in, pm, pv):
         i = lax.axis_index(seq_axis)
+        if enc_sharded:
+            tci = enc_in.shape[1]
+            pos_i = lax.dynamic_slice_in_dim(pos_in_full, i * tci, tci, 0)
+            xe = jnp.dot(enc_in, params["in_proj"]) + pos_i
+            for layer in params["enc"]:
+                h = T._ln(layer["ln1"], xe)
+                xe = xe + ring_self_attention(
+                    layer["attn"], h, axis_name=seq_axis,
+                    n_shards=n_seq, impl=impl, causal=False,
+                )
+                xe = xe + T._mlp(layer["mlp"], T._ln(layer["ln2"], xe))
+            enc = lax.all_gather(xe, seq_axis, axis=1, tiled=True)
+        else:
+            enc = enc_in
         tc = tok.shape[1]
         pos = lax.dynamic_slice_in_dim(pos_full, i * tc, tc, 0)
         x = jnp.dot(tok, params["in_proj"]) + pos
@@ -253,7 +290,8 @@ def sp_decode(
         ).astype(jnp.float32)
 
     tok_spec = P(da, seq_axis, None)
-    enc_spec = P(da, None, None)
+    rep_spec = P(da, None, None)
+    enc_spec = tok_spec if enc_sharded else rep_spec
     if peer_mem is None:
         fn = jax.shard_map(
             lambda p_, tk, en: local(p_, tk, en, None, None),
@@ -261,14 +299,14 @@ def sp_decode(
             in_specs=(P(), tok_spec, enc_spec),
             out_specs=tok_spec,
         )
-        return fn(params, tokens_in, enc_mem)
+        return fn(params, tokens_in, enc_arg)
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), tok_spec, enc_spec, enc_spec, P(da, None)),
+        in_specs=(P(), tok_spec, enc_spec, rep_spec, P(da, None)),
         out_specs=tok_spec,
     )
-    return fn(params, tokens_in, enc_mem, peer_mem, peer_valid)
+    return fn(params, tokens_in, enc_arg, peer_mem, peer_valid)
 
 
 def sp_apply_fn(mesh: Mesh, *, seq_axis: str = "seq", impl: str = "ring"):

@@ -108,6 +108,20 @@ def test_sp_grads_match_single_device(data, params):
         np.testing.assert_allclose(a, b, atol=3e-5 * max(scale, 1.0))
 
 
+def test_sp_encoder_fallback_nondivisible_past(params):
+    """h_in that does not divide the seq axis keeps the replicated
+    encoder (the sharded-encoder path needs T_in % n_seq == 0)."""
+    cfg = _mcfg(h_in=6)
+    rng = np.random.default_rng(3)
+    past = jnp.asarray(rng.normal(size=(B, 6, 3)).astype(np.float32))
+    future = jnp.asarray(rng.normal(size=(B, H_OUT, 3)).astype(np.float32))
+    p = T.init(jax.random.PRNGKey(0), cfg)
+    ref = T.apply(p, cfg, past, future)
+    mesh = sp.make_sp_mesh(4)
+    out = sp.sp_decode(p, cfg, mesh, past, future)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
 def test_sp_horizon_not_divisible_raises(data, params):
     cfg = _mcfg()
     mesh = sp.make_sp_mesh(8)
