@@ -301,7 +301,9 @@ def main():
         # not zero the round — poll for its return, bounded so the down
         # case still emits well inside DEADLINE_S
         log("relay tunnel DOWN — polling up to 150s for it to return")
-        while tunnel is False and time.time() - _T0 < 150:
+        poll_until = time.time() + 150  # poll-start-relative: the CPU
+        # oracle phase above must not eat the retry window on slow hosts
+        while tunnel is False and time.time() < poll_until:
             time.sleep(5)
             tunnel = relay_tunnel_up()
     if tunnel is False:

@@ -340,6 +340,10 @@ def cmd_train(args):
     fam = get_family(cfg.model_family)
     sp_mesh = None
     if args.seq_parallel:
+        if args.seq_parallel < 1:
+            raise SystemExit(
+                f"--seq-parallel must be >= 1 (got {args.seq_parallel})"
+            )
         if cfg.model_family != "transformer":
             raise SystemExit(
                 "--seq-parallel applies to the transformer family only "
@@ -358,7 +362,10 @@ def cmd_train(args):
             )
         from .parallel.sp import make_sp_mesh
 
-        sp_mesh = make_sp_mesh(args.seq_parallel)
+        try:
+            sp_mesh = make_sp_mesh(args.seq_parallel)
+        except ValueError as e:
+            raise SystemExit(str(e))
     train_d, test_d = _load_or_synth_data(args, cfg)
     h_in, h_out = train_d["past"].shape[1], train_d["future"].shape[1]
     if (h_in, h_out) != (cfg.model.h_in, cfg.model.h_out):
@@ -388,6 +395,28 @@ def cmd_train(args):
             )
         print(f"rounding batch_size down to {bs} (multiple of --accum)")
         cfg = cfg.replace(batch_size=bs)
+    if sp_mesh is not None and "data" in sp_mesh.shape:
+        # the SP shard_map splits the batch over the auto-filled 'data'
+        # axis: round AFTER the dataset/accum clamps above so the final
+        # batch is divisible (a ragged batch would die in shard_map)
+        import math as _math
+
+        nd = sp_mesh.shape["data"]
+        mult = _math.lcm(nd, cfg.accum) if cfg.accum > 1 else nd
+        bs = (cfg.batch_size // mult) * mult
+        if bs == 0:
+            raise SystemExit(
+                f"batch size {cfg.batch_size} too small for the SP "
+                f"'data' mesh axis ({nd} devices"
+                + (f" x --accum {cfg.accum}" if cfg.accum > 1 else "")
+                + ")"
+            )
+        if bs != cfg.batch_size:
+            print(
+                f"rounding batch_size down to {bs} "
+                f"(multiple of SP data axis {nd})"
+            )
+            cfg = cfg.replace(batch_size=bs)
 
     state = None
     if args.resume and args.ckpt_dir:

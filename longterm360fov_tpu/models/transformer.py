@@ -244,19 +244,21 @@ def _peer_tokens(params, cfg, other_future_n, other_mask):
     return tokens, valid
 
 
-def _peer_window_mask(cfg, kt, *, tq=None, t=None):
+def _peer_window_mask(cfg, kt, *, tq=None, t=None, q_offset=0):
     """Temporal window mask for peer attention (cfg.peer_window > 0):
     decode step t attends only peer tokens with |t_k - t| <= w. Token
     time t_k is the index within each peer's T-segment (= the index
     itself for the pooled track). Returns (Tq, KT) for the parallel
-    pass, (KT,) for one decode step, or None when windowing is off."""
+    pass, (KT,) for one decode step, or None when windowing is off.
+    ``q_offset`` shifts the query positions — the sequence-parallel
+    path (parallel.sp) passes its device's global slice start."""
     if cfg.peer_window <= 0:
         return None
     seg = kt if cfg.peer_pool == "mean" else cfg.h_out
     idx = jnp.arange(kt) % seg
     if t is not None:
         return jnp.abs(idx - t) <= cfg.peer_window
-    q = jnp.arange(tq)[:, None]
+    q = (q_offset + jnp.arange(tq))[:, None]
     return jnp.abs(idx[None, :] - q) <= cfg.peer_window
 
 

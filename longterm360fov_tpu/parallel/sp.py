@@ -65,12 +65,12 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models import transformer as T
 from ..models.seq2seq import Seq2SeqConfig
 
-__all__ = ["ring_self_attention", "sp_decode", "sp_apply_fn"]
+__all__ = ["make_sp_mesh", "ring_self_attention", "sp_decode", "sp_apply_fn"]
 
 _NEG = -1e30  # finite mask value: exp(_NEG - m) underflows to 0, no NaN
 
@@ -162,13 +162,15 @@ def ring_self_attention(
 
 
 def _sp_decoder_block(
-    layer, x, enc_mem, peer_mem, peer_valid, cfg, *,
-    axis_name, n_shards, impl,
+    layer, x, enc_mem, peer_mem, peer_valid, *,
+    axis_name, n_shards, impl, peer_tmask=None,
 ):
     """models.transformer._decoder_block with the causal self-attention
-    replaced by the ring/gather version and the peer temporal window
-    offset to this device's global query positions. Cross/peer K,V are
-    the full replicated memories — exact, they are not time-sharded."""
+    replaced by the ring/gather version; ``peer_tmask`` is the peer
+    temporal-window mask already offset to this device's global query
+    positions (built once per forward via T._peer_window_mask).
+    Cross/peer K,V are the full replicated memories — exact, they are
+    not time-sharded."""
     h_in = T._ln(layer["ln1"], x)
     x = x + ring_self_attention(
         layer["self_attn"], h_in,
@@ -180,14 +182,8 @@ def _sp_decoder_block(
     if peer_mem is not None:
         q_in = T._ln(layer["ln3"], x)
         mask3 = peer_valid[:, None, :]
-        if cfg.peer_window > 0:
-            kt = peer_mem.shape[1]
-            seg = kt if cfg.peer_pool == "mean" else cfg.h_out
-            idx = jnp.arange(kt) % seg
-            tc = x.shape[1]
-            q = lax.axis_index(axis_name) * tc + jnp.arange(tc)
-            tmask = jnp.abs(idx[None, :] - q[:, None]) <= cfg.peer_window
-            mask3 = mask3 & tmask[None]
+        if peer_tmask is not None:
+            mask3 = mask3 & peer_tmask[None]
         pa = T._attention(layer["peer_attn"], q_in, peer_mem, mask=mask3)
         has_peer = jnp.any(mask3, axis=-1)[..., None]
         x = x + jnp.where(has_peer, pa, 0.0)
@@ -236,7 +232,10 @@ def sp_decode(
         enc_arg = past_n.astype(cfg.dtype)  # raw tokens, seq-sharded
         pos_in_full = T._pos_enc(t_in, cfg.hidden)
     else:
-        enc_arg = T._encode(params, cfg, past_n)
+        # _encode_auto, not _encode: keeps the fallback on the same
+        # encoder route (incl. the fused-train-encoder flag) as the
+        # unsharded models.transformer.apply
+        enc_arg = T._encode_auto(params, cfg, past_n)
     # Peer tokens + teacher inputs stay replicated along 'seq'
     # (batch-sharded over 'data' by GSPMD when present): per-token
     # projections only, no quadratic term.
@@ -277,10 +276,17 @@ def sp_decode(
         tc = tok.shape[1]
         pos = lax.dynamic_slice_in_dim(pos_full, i * tc, tc, 0)
         x = jnp.dot(tok, params["in_proj"]) + pos
+        tmask = (
+            None if pm is None
+            else T._peer_window_mask(
+                cfg, pm.shape[1], tq=tc, q_offset=i * tc
+            )
+        )
         for layer in params["dec"]:
             x = _sp_decoder_block(
-                layer, x, enc, pm, pv, cfg,
+                layer, x, enc, pm, pv,
                 axis_name=seq_axis, n_shards=n_seq, impl=impl,
+                peer_tmask=tmask,
             )
         x = T._ln(params["final_ln"], x)
         return (
@@ -342,6 +348,11 @@ def make_sp_mesh(
     ``data_parallel=0`` auto-fills with the remaining devices."""
     import numpy as np
 
+    if seq_parallel < 1 or data_parallel < 0:
+        raise ValueError(
+            f"seq_parallel must be >= 1 (got {seq_parallel}) and "
+            f"data_parallel >= 0 (got {data_parallel})"
+        )
     devices = list(devices if devices is not None else jax.devices())
     if data_parallel == 0:
         data_parallel = max(len(devices) // seq_parallel, 1)
@@ -352,20 +363,6 @@ def make_sp_mesh(
             f" have {len(devices)}"
         )
     if data_parallel == 1:
-        return Mesh(np.array(devices[:seq_parallel]), (seq_axis_name(),))
+        return Mesh(np.array(devices[:seq_parallel]), ("seq",))
     arr = np.array(devices[:n]).reshape(data_parallel, seq_parallel)
-    return Mesh(arr, ("data", seq_axis_name()))
-
-
-def seq_axis_name() -> str:
-    return "seq"
-
-
-def shard_sp_batch(mesh: Mesh, batch: Dict[str, jax.Array]) -> Dict:
-    """Place a host batch for the SP train step: leading (viewer) axis
-    over 'data' when present, everything else replicated — the 'seq'
-    split happens inside sp_decode's shard_map on the HORIZON axis,
-    which raw batches don't expose directly."""
-    da = _data_axis(mesh)
-    sharding = NamedSharding(mesh, P(da))
-    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+    return Mesh(arr, ("data", "seq"))

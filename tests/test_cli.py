@@ -84,11 +84,14 @@ def test_train_seq_parallel(tmp_path, capsys):
     cli.main(
         [
             "train", "--preset", "transformer-30", "--data", data,
-            "--steps", "2", "--batch-size", "8", "--seq-parallel", "2",
+            "--steps", "2", "--batch-size", "10", "--seq-parallel", "2",
         ]
     )
     out = capsys.readouterr().out.strip().splitlines()
     assert any("sequence parallelism" in ln for ln in out)
+    # batch 10 is ragged over the auto-filled 4-device 'data' axis:
+    # the CLI must round it down, not die inside shard_map
+    assert any("rounding batch_size down to 8" in ln for ln in out)
     metrics = json.loads(out[-1])
     assert np.isfinite(metrics["loss"])
 

@@ -130,6 +130,17 @@ def test_sp_horizon_not_divisible_raises(data, params):
         sp.sp_decode(params, cfg, mesh, data["past"], bad_future)
 
 
+def test_make_sp_mesh_validates():
+    with pytest.raises(ValueError, match="seq_parallel"):
+        sp.make_sp_mesh(0)
+    with pytest.raises(ValueError, match="seq_parallel"):
+        sp.make_sp_mesh(-2)
+    with pytest.raises(ValueError, match="need"):
+        sp.make_sp_mesh(16)  # only 8 virtual devices
+    with pytest.raises(ValueError, match="need"):
+        sp.make_sp_mesh(4, data_parallel=4)
+
+
 def test_sp_train_step_trajectory(data):
     """sp_apply_fn drops into train.make_train_step unchanged: a
     3-step training trajectory matches the single-device one."""
