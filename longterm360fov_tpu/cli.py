@@ -95,6 +95,12 @@ def _build_parser() -> argparse.ArgumentParser:
         "'data' mesh axis. Transformer family only — LSTM recurrence "
         "is O(1) state and needs no SP",
     )
+    tr.add_argument(
+        "--pipeline-parallel", type=int, default=0, metavar="S",
+        help="pipeline the transformer decoder stack over S stage "
+        "devices (GPipe-style microbatching, parallel.pp). Transformer "
+        "family only; S must divide the layer count",
+    )
     tr.add_argument("--bf16", action="store_true", help="bfloat16 params/compute")
 
     ev = sub.add_parser("eval", help="evaluate a checkpoint")
@@ -366,6 +372,30 @@ def cmd_train(args):
             sp_mesh = make_sp_mesh(args.seq_parallel)
         except ValueError as e:
             raise SystemExit(str(e))
+    pp_mesh = None
+    if args.pipeline_parallel:
+        if cfg.model_family != "transformer":
+            raise SystemExit(
+                "--pipeline-parallel applies to the transformer family "
+                "only (the LSTM stacks are too shallow to amortize "
+                "pipeline bubbles — SURVEY §2.2)"
+            )
+        if cfg.data_parallel or sp_mesh is not None:
+            raise SystemExit(
+                "--pipeline-parallel is exclusive with --data-parallel "
+                "and --seq-parallel (one strategy per run)"
+            )
+        if cfg.model.layers % args.pipeline_parallel:
+            raise SystemExit(
+                f"{cfg.model.layers} decoder layers not divisible by "
+                f"--pipeline-parallel {args.pipeline_parallel}"
+            )
+        from .parallel.pp import make_pp_mesh
+
+        try:
+            pp_mesh = make_pp_mesh(args.pipeline_parallel)
+        except ValueError as e:
+            raise SystemExit(str(e))
     train_d, test_d = _load_or_synth_data(args, cfg)
     h_in, h_out = train_d["past"].shape[1], train_d["future"].shape[1]
     if (h_in, h_out) != (cfg.model.h_in, cfg.model.h_out):
@@ -395,26 +425,31 @@ def cmd_train(args):
             )
         print(f"rounding batch_size down to {bs} (multiple of --accum)")
         cfg = cfg.replace(batch_size=bs)
+    nd = what = None
     if sp_mesh is not None and "data" in sp_mesh.shape:
         # the SP shard_map splits the batch over the auto-filled 'data'
         # axis: round AFTER the dataset/accum clamps above so the final
         # batch is divisible (a ragged batch would die in shard_map)
+        nd, what = sp_mesh.shape["data"], "SP data axis"
+    elif pp_mesh is not None:
+        # PP splits the batch into S microbatches (default schedule)
+        nd, what = pp_mesh.shape["stage"], "PP microbatch count"
+    if nd is not None:
         import math as _math
 
-        nd = sp_mesh.shape["data"]
         mult = _math.lcm(nd, cfg.accum) if cfg.accum > 1 else nd
         bs = (cfg.batch_size // mult) * mult
         if bs == 0:
             raise SystemExit(
-                f"batch size {cfg.batch_size} too small for the SP "
-                f"'data' mesh axis ({nd} devices"
+                f"batch size {cfg.batch_size} too small for the {what} "
+                f"({nd}"
                 + (f" x --accum {cfg.accum}" if cfg.accum > 1 else "")
                 + ")"
             )
         if bs != cfg.batch_size:
             print(
                 f"rounding batch_size down to {bs} "
-                f"(multiple of SP data axis {nd})"
+                f"(multiple of {what} {nd})"
             )
             cfg = cfg.replace(batch_size=bs)
 
@@ -438,6 +473,15 @@ def cmd_train(args):
         print(
             f"sequence parallelism: horizon {cfg.model.h_out} ring-"
             f"sharded over mesh {dict(sp_mesh.shape)}"
+        )
+    if pp_mesh is not None:
+        from .parallel.pp import pp_apply_fn
+
+        apply_fn = pp_apply_fn(pp_mesh)
+        fused_tf_fn = fused_ss_fn = None
+        print(
+            f"pipeline parallelism: {cfg.model.layers} decoder layers "
+            f"over {pp_mesh.shape['stage']} stages (GPipe microbatching)"
         )
     if cfg.data_parallel:
         from .parallel import train_loop_dp

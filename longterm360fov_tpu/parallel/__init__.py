@@ -1,10 +1,11 @@
-from . import mesh, multihost, sp, tp  # noqa: F401
+from . import mesh, multihost, pp, sp, tp  # noqa: F401
 from .mesh import (  # noqa: F401
     make_mesh,
     make_sharded_train_step,
     shard_batch,
     train_loop_dp,
 )
+from .pp import make_pp_mesh, pp_apply_fn, pp_decode  # noqa: F401
 from .sp import (  # noqa: F401
     make_sp_mesh,
     ring_self_attention,

@@ -108,6 +108,49 @@ def test_train_seq_parallel(tmp_path, capsys):
         )
 
 
+def test_train_pipeline_parallel(tmp_path, capsys):
+    """--pipeline-parallel rides the GPipe path (parallel.pp)."""
+    import pytest
+
+    data = str(tmp_path / "win.npz")
+    cli.main(
+        [
+            "prepare-data", "--out", data,
+            "--h-in", "30", "--h-out", "30",
+            "--n-users", "2", "--n-videos", "1", "--n-frames", "300",
+        ]
+    )
+    capsys.readouterr()
+    cli.main(
+        [
+            "train", "--preset", "transformer-30", "--data", data,
+            "--steps", "2", "--batch-size", "8",
+            "--pipeline-parallel", "2",
+        ]
+    )
+    out = capsys.readouterr().out.strip().splitlines()
+    assert any("pipeline parallelism" in ln for ln in out)
+    metrics = json.loads(out[-1])
+    assert np.isfinite(metrics["loss"])
+
+    with pytest.raises(SystemExit, match="transformer family only"):
+        cli.main(
+            ["train", "--preset", "lstm-xyz-10", "--data", data,
+             "--steps", "1", "--pipeline-parallel", "2"]
+        )
+    with pytest.raises(SystemExit, match="not divisible"):
+        cli.main(
+            ["train", "--preset", "transformer-30", "--data", data,
+             "--steps", "1", "--pipeline-parallel", "3"]
+        )
+    with pytest.raises(SystemExit, match="exclusive"):
+        cli.main(
+            ["train", "--preset", "transformer-30", "--data", data,
+             "--steps", "1", "--pipeline-parallel", "2",
+             "--seq-parallel", "2"]
+        )
+
+
 def test_eval_uses_paired_test_split(tmp_path):
     from longterm360fov_tpu.config import get_preset
 
