@@ -435,9 +435,12 @@ def cmd_train(args):
         # PP splits the batch into S microbatches (default schedule)
         nd, what = pp_mesh.shape["stage"], "PP microbatch count"
     if nd is not None:
-        import math as _math
-
-        mult = _math.lcm(nd, cfg.accum) if cfg.accum > 1 else nd
+        # accum_grads slices the batch into `accum` microbatches BEFORE
+        # apply_fn runs, so each slice (bs / accum) must itself divide
+        # by nd: the requirement is bs % (nd * accum) == 0, not lcm —
+        # with gcd(nd, accum) > 1 the lcm admits batches that crash at
+        # trace time inside shard_map / pp_decode
+        mult = nd * cfg.accum if cfg.accum > 1 else nd
         bs = (cfg.batch_size // mult) * mult
         if bs == 0:
             raise SystemExit(

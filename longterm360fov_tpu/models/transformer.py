@@ -360,9 +360,16 @@ def apply(
     return _ar_decode(params, cfg, enc_mem, peer_mem, peer_valid, y0)
 
 
-def _parallel_decode(params, cfg, enc_mem, peer_mem, peer_valid, y0, future_n,
-                     *, rng=None, teacher_prob=1.0):
-    t = future_n.shape[1]
+def teacher_tokens(cfg, y0, future_n, rng=None, teacher_prob=1.0):
+    """Teacher-forced decoder inputs with the noisy-TF curriculum.
+
+    Single source of truth for the exposure-bias recipe: token t is the
+    true position at t-1, perturbed (when ``rng`` is given) by Gaussian
+    noise with sigma = (1 - teacher_prob) * std(future). The SP and PP
+    shards of the parallel pass (parallel/sp.py, parallel/pp.py) call
+    this too — their exact-parity contract depends on never diverging
+    from this construction.
+    """
     tokens_in = jnp.concatenate(
         [y0[:, None], future_n[:, :-1].astype(cfg.dtype)], axis=1
     )  # teacher inputs: true position at t-1
@@ -371,6 +378,13 @@ def _parallel_decode(params, cfg, enc_mem, peer_mem, peer_valid, y0, future_n,
         tokens_in = tokens_in + (
             sigma * jax.random.normal(rng, tokens_in.shape, jnp.float32)
         ).astype(tokens_in.dtype)
+    return tokens_in
+
+
+def _parallel_decode(params, cfg, enc_mem, peer_mem, peer_valid, y0, future_n,
+                     *, rng=None, teacher_prob=1.0):
+    t = future_n.shape[1]
+    tokens_in = teacher_tokens(cfg, y0, future_n, rng, teacher_prob)
     x = jnp.dot(tokens_in, params["in_proj"]) + _pos_enc(t, cfg.hidden)
     causal = jnp.tril(jnp.ones((t, t), bool))[None]
     tmask = (

@@ -111,14 +111,7 @@ def pp_decode(
             params, cfg, other_future_n, other_mask
         )
     y0 = past_n[:, -1, :].astype(cfg.dtype)
-    tokens_in = jnp.concatenate(
-        [y0[:, None], future_n[:, :-1].astype(cfg.dtype)], axis=1
-    )
-    if rng is not None:
-        sigma = (1.0 - teacher_prob) * jnp.std(future_n.astype(jnp.float32))
-        tokens_in = tokens_in + (
-            sigma * jax.random.normal(rng, tokens_in.shape, jnp.float32)
-        ).astype(tokens_in.dtype)
+    tokens_in = T.teacher_tokens(cfg, y0, future_n, rng, teacher_prob)
     x0 = jnp.dot(tokens_in, params["in_proj"]) + T._pos_enc(t, cfg.hidden)
     causal = jnp.tril(jnp.ones((t, t), bool))[None]
     tmask = (
@@ -206,14 +199,20 @@ def pp_decode(
         (_, outputs), _ = lax.scan(
             tick, (buf0, outputs0), jnp.arange(n_ticks)
         )
-        # head on the last stage's banked activations; other stages
-        # produce zeros that the out_specs slice discards
+        # head on the last stage's banked activations. Under SPMD every
+        # stage runs the position-wise LN/head on its own buffer anyway
+        # (concurrent, no wall-clock cost); non-last stages hold zeros
+        # whose LN/head output is NOT zero (LN(0)=beta, +bias), so mask
+        # before the psum. The psum then moves one (M,Bm,T,D) block
+        # (D << H) instead of gathering S stacked blocks and discarding
+        # all but the last.
         x = T._ln(params["final_ln"], outputs)
         pred = (
             jnp.dot(x, head["w"], preferred_element_type=jnp.float32)
             + head["b"]
         ).astype(jnp.float32)
-        return pred
+        pred = jnp.where(s == n_stages - 1, pred, 0.0)
+        return lax.psum(pred, "stage")
 
     specs_in = [P(), P(), P(None, None, None, None),
                 P(None, None, None, None)]
@@ -223,7 +222,7 @@ def pp_decode(
             lambda d, h, x, e: local(d, h, x, e, None, None),
             mesh=mesh,
             in_specs=tuple(specs_in),
-            out_specs=P("stage"),
+            out_specs=P(),
         )
     else:
         specs_in += [P(None, None, None, None), P(None, None, None)]
@@ -231,12 +230,11 @@ def pp_decode(
         fn = jax.shard_map(
             local, mesh=mesh,
             in_specs=tuple(specs_in),
-            out_specs=P("stage"),
+            out_specs=P(),
         )
-    # out_specs P('stage') stacks each stage's (M,Bm,T,D) along axis 0
-    # → (S*M, Bm, T, D); only the LAST stage's block is real
-    stacked = fn(*args)
-    pred = stacked[-m_micro:]
+    # the masked psum inside `local` already reduced the prediction to
+    # the last stage's (M, Bm, T, D) block, replicated on every stage
+    pred = fn(*args)
     return pred.reshape(b, t, cfg.d)
 
 

@@ -245,14 +245,7 @@ def sp_decode(
             params, cfg, other_future_n, other_mask
         )
     y0 = past_n[:, -1, :].astype(cfg.dtype)
-    tokens_in = jnp.concatenate(
-        [y0[:, None], future_n[:, :-1].astype(cfg.dtype)], axis=1
-    )
-    if rng is not None:
-        sigma = (1.0 - teacher_prob) * jnp.std(future_n.astype(jnp.float32))
-        tokens_in = tokens_in + (
-            sigma * jax.random.normal(rng, tokens_in.shape, jnp.float32)
-        ).astype(tokens_in.dtype)
+    tokens_in = T.teacher_tokens(cfg, y0, future_n, rng, teacher_prob)
 
     pos_full = T._pos_enc(t, cfg.hidden)
     da = _data_axis(mesh)

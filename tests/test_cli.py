@@ -133,6 +133,22 @@ def test_train_pipeline_parallel(tmp_path, capsys):
     metrics = json.loads(out[-1])
     assert np.isfinite(metrics["loss"])
 
+    # regression: accum slices the batch BEFORE the microbatch split, so
+    # the divisibility requirement is nd*accum, not lcm(nd, accum) —
+    # batch 6 with stages=2, accum=2 must round to 4, not sail through
+    # lcm(2,2)=2 and die at trace time inside pp_decode
+    capsys.readouterr()
+    cli.main(
+        [
+            "train", "--preset", "transformer-30", "--data", data,
+            "--steps", "1", "--batch-size", "6",
+            "--pipeline-parallel", "2", "--accum", "2",
+        ]
+    )
+    out = capsys.readouterr().out.strip().splitlines()
+    assert any("rounding batch_size down to 4" in ln for ln in out)
+    assert np.isfinite(json.loads(out[-1])["loss"])
+
     with pytest.raises(SystemExit, match="transformer family only"):
         cli.main(
             ["train", "--preset", "lstm-xyz-10", "--data", data,
