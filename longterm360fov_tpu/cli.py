@@ -119,6 +119,45 @@ def _build_parser() -> argparse.ArgumentParser:
         help="fused = whole-request Pallas serve kernel (LSTM families)",
     )
 
+    pr = sub.add_parser(
+        "predict",
+        help="one-shot offline prediction: each viewer trace's last H_in "
+        "frames in, predicted (yaw, pitch) trajectory out — one JSON "
+        "line per viewer (SURVEY.md §3.3's batch path; the daemon is "
+        "the online counterpart)",
+    )
+    pr.add_argument("--preset", required=True)
+    group = pr.add_mutually_exclusive_group(required=True)
+    group.add_argument("--ckpt-dir", help="orbax checkpoint directory")
+    group.add_argument(
+        "--params", help="flat npz from `export` (numpy-only host)"
+    )
+    pr.add_argument(
+        "--traces", help="trace dir; synthetic store if omitted"
+    )
+    pr.add_argument("--dataset-format", default="auto")
+    pr.add_argument(
+        "--at-frame", type=int, default=None, metavar="N",
+        help="predict from the window ENDING at frame N (exclusive); "
+        "default: each trace's last frame",
+    )
+    pr.add_argument(
+        "--peers", type=int, default=-1,
+        help="cross-viewer context size K (other viewers of the same "
+        "video whose frames past the window end are known — the "
+        "on-demand scenario); -1 = the preset's K for peer-consuming "
+        "families, 0 = none",
+    )
+    pr.add_argument(
+        "--tiles", action="store_true",
+        help="include the unioned prefetch tile set per viewer",
+    )
+    pr.add_argument("--tile-rows", type=int, default=6)
+    pr.add_argument("--tile-cols", type=int, default=12)
+    pr.add_argument("--fov", type=float, default=90.0)
+    pr.add_argument("--out", help="output JSONL path (default: stdout)")
+    pr.add_argument("--impl", default="xla", choices=("xla", "fused"))
+
     sv = sub.add_parser(
         "serve", help="streaming-prefetch simulation: hit rate + bandwidth"
     )
@@ -609,6 +648,123 @@ def cmd_serve_bench(args):
     )
 
 
+def cmd_predict(args):
+    """One-shot offline prediction (SURVEY.md §3.3): the last H_in
+    observed frames of each viewer trace go in; predicted (yaw, pitch)
+    trajectories in degrees — and optionally the unioned prefetch tile
+    set — come out as one JSON line per viewer. Peer-consuming families
+    condition on other viewers' frames past the window end (known at
+    serve time in the on-demand scenario, paper §III.C)."""
+    import jax.numpy as jnp
+
+    from . import geometry, infer
+    from .config import get_preset
+    from .models import get_family
+
+    cfg = get_preset(args.preset)
+    fam = get_family(cfg.model_family)
+    if args.params:
+        from . import serving as SV
+
+        params = SV.load_exported_params(args.params, cfg, fam)
+    else:
+        from . import train as TR
+
+        opt = TR.make_optimizer(cfg)
+        ck = _open_checkpoint(args.ckpt_dir, cfg)
+        params = ck.restore(TR.init_state(cfg, fam.init, opt)).params
+
+    if args.traces:
+        from . import datasets as DSETS
+
+        store = DSETS.load_dataset(
+            args.traces, fmt=args.dataset_format, rate_hz=cfg.rate_hz
+        )
+    else:
+        from . import traces as T
+
+        store = T.synthetic_store(
+            n_users=8, n_videos=1, n_frames=600, rate_hz=cfg.rate_hz,
+            seed=cfg.seed + 1,
+        )
+
+    extras = getattr(fam, "batch_extras", None)
+    k_peers = args.peers
+    if k_peers < 0:
+        k_peers = cfg.n_other_users if extras is not None else 0
+    h_in, h_out = cfg.model.h_in, cfg.model.h_out
+
+    rows, pasts, peer_blocks, peer_masks = [], [], [], []
+    for tr in store.traces:
+        end = args.at_frame if args.at_frame is not None else len(tr.xyz)
+        if end < h_in or end > len(tr.xyz):
+            print(
+                f"skipping {tr.user}/{tr.video}: window end {end} outside "
+                f"[{h_in}, {len(tr.xyz)}]",
+                file=sys.stderr,
+            )
+            continue
+        pasts.append(tr.xyz[end - h_in:end])
+        if k_peers:
+            peers = np.zeros((k_peers, h_out, 3), np.float32)
+            mask = np.zeros((k_peers,), bool)
+            got = 0
+            for p in store.others(tr):
+                if len(p.xyz) >= end + h_out:
+                    peers[got] = p.xyz[end:end + h_out]
+                    mask[got] = True
+                    got += 1
+                    if got == k_peers:
+                        break
+            peer_blocks.append(peers)
+            peer_masks.append(mask)
+        rows.append(
+            {
+                "user": tr.user,
+                "video": tr.video,
+                "frame": end,
+                "t_s": round(end / tr.rate_hz, 3),
+                "rate_hz": tr.rate_hz,
+                "horizon": h_out,
+            }
+        )
+    if not rows:
+        raise SystemExit("no trace long enough for a full input window")
+
+    batch = {"past": jnp.asarray(np.stack(pasts))}
+    if k_peers:
+        batch["other_future"] = jnp.asarray(np.stack(peer_blocks))
+        batch["other_mask"] = jnp.asarray(np.stack(peer_masks))
+    serve = infer.make_predict_fn(
+        params, cfg, fam.apply, with_tiles=args.tiles,
+        tile_rows=args.tile_rows, tile_cols=args.tile_cols,
+        fov_deg=args.fov, extras_fn=extras, impl=args.impl,
+    )
+    out = serve(batch)
+    xyz, tile_mask = out if args.tiles else (out, None)
+    yaw, pitch = geometry.xyz_to_euler(xyz)
+    yaw = np.degrees(np.asarray(yaw))
+    pitch = np.degrees(np.asarray(pitch))
+
+    fh = open(args.out, "w") if args.out else sys.stdout
+    try:
+        for i, row in enumerate(rows):
+            row["yaw_deg"] = [round(float(v), 3) for v in yaw[i]]
+            row["pitch_deg"] = [round(float(v), 3) for v in pitch[i]]
+            if k_peers:
+                row["peers_used"] = int(peer_masks[i].sum())
+            if tile_mask is not None:
+                fetch = np.any(np.asarray(tile_mask[i]), axis=0)
+                row["prefetch_tiles"] = np.nonzero(fetch)[0].tolist()
+                row["grid"] = f"{args.tile_rows}x{args.tile_cols}"
+            fh.write(json.dumps(row) + "\n")
+    finally:
+        if args.out:
+            fh.close()
+            print(f"wrote {len(rows)} predictions → {args.out}",
+                  file=sys.stderr)
+
+
 def cmd_serve(args):
     """Streaming-prefetch simulation (SURVEY.md §3.3 + paper §I): decode
     the test split, build tile prefetch sets from the predictions, and
@@ -977,6 +1133,7 @@ def main(argv=None):
         "prepare-data": cmd_prepare_data,
         "train": cmd_train,
         "eval": cmd_eval,
+        "predict": cmd_predict,
         "serve": cmd_serve,
         "stream-sim": cmd_stream_sim,
         "serve-daemon": cmd_serve_daemon,

@@ -45,6 +45,82 @@ def test_prepare_train_eval_roundtrip(tmp_path, capsys):
     assert "mean_deg" in res and np.isfinite(res["mean_deg"])
 
 
+def test_predict_jsonl(tmp_path, capsys):
+    """predict: checkpoint + traces → one JSON line of (yaw, pitch)
+    per viewer, with the unioned prefetch tile set when --tiles."""
+    data = str(tmp_path / "win.npz")
+    ckpt = str(tmp_path / "ck")
+    cli.main(
+        [
+            "prepare-data", "--out", data,
+            "--h-in", "10", "--h-out", "10",
+            "--n-users", "2", "--n-videos", "1", "--n-frames", "200",
+        ]
+    )
+    cli.main(
+        ["train", "--preset", "lstm-xyz-10", "--data", data,
+         "--steps", "2", "--batch-size", "16", "--ckpt-dir", ckpt]
+    )
+    capsys.readouterr()
+    # synthetic store (no --traces), stdout emission, tiles on
+    cli.main(
+        ["predict", "--preset", "lstm-xyz-10", "--ckpt-dir", ckpt,
+         "--tiles"]
+    )
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 8  # default synthetic store: 8 viewers
+    row = json.loads(lines[0])
+    assert len(row["yaw_deg"]) == 10 and len(row["pitch_deg"]) == 10
+    assert all(np.isfinite(v) for v in row["yaw_deg"])
+    assert row["prefetch_tiles"] and row["grid"] == "6x12"
+    assert all(0 <= t < 72 for t in row["prefetch_tiles"])
+
+    # --at-frame too early for a full window must refuse, not crash
+    import pytest
+
+    with pytest.raises(SystemExit, match="no trace long enough"):
+        cli.main(
+            ["predict", "--preset", "lstm-xyz-10", "--ckpt-dir", ckpt,
+             "--at-frame", "5"]
+        )
+
+
+def test_predict_peers_from_export(tmp_path, capsys):
+    """predict on a peer-consuming family, serving from an exported
+    flat-npz (no orbax on the serving host), peers auto-filled from
+    other viewers of the same video."""
+    data = str(tmp_path / "win30.npz")
+    ckpt = str(tmp_path / "ck")
+    npz = str(tmp_path / "params.npz")
+    cli.main(
+        [
+            "prepare-data", "--out", data,
+            "--h-in", "30", "--h-out", "30",
+            "--n-users", "3", "--n-videos", "1", "--n-frames", "300",
+        ]
+    )
+    cli.main(
+        ["train", "--preset", "stacked-ss-crossuser", "--data", data,
+         "--steps", "2", "--batch-size", "8", "--ckpt-dir", ckpt]
+    )
+    cli.main(
+        ["export", "--preset", "stacked-ss-crossuser",
+         "--ckpt-dir", ckpt, "--out", npz]
+    )
+    capsys.readouterr()
+    out_path = str(tmp_path / "pred.jsonl")
+    cli.main(
+        ["predict", "--preset", "stacked-ss-crossuser", "--params", npz,
+         "--at-frame", "200", "--peers", "2", "--out", out_path]
+    )
+    rows = [json.loads(ln) for ln in open(out_path)]
+    assert len(rows) == 8
+    # every viewer has 2 peers with frames past 200 in the 8-viewer store
+    assert all(r["peers_used"] == 2 for r in rows)
+    assert all(len(r["yaw_deg"]) == 30 for r in rows)
+    assert all(r["frame"] == 200 for r in rows)
+
+
 def test_train_data_parallel(tmp_path, capsys):
     data = str(tmp_path / "win.npz")
     cli.main(
