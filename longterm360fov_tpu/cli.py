@@ -209,6 +209,11 @@ def _build_parser() -> argparse.ArgumentParser:
         "--max-wait-ms", type=float, default=2.0,
         help="how long a lone request waits for co-arrivals",
     )
+    sd.add_argument(
+        "--pipeline-depth", type=int, default=4,
+        help="batches allowed in flight awaiting device readback; "
+        "overlaps host batching with device compute (1 = minimal)",
+    )
     sd.add_argument("--no-tiles", action="store_true",
                     help="skip prefetch tile sets in responses")
     sd.add_argument("--tile-rows", type=int, default=6)
@@ -881,6 +886,7 @@ def cmd_serve_daemon(args):
         with_tiles=not args.no_tiles,
         tile_rows=args.tile_rows, tile_cols=args.tile_cols,
         fov_deg=args.fov, impl=args.impl, mesh=mesh,
+        pipeline_depth=args.pipeline_depth,
     )
     print(
         json.dumps(

@@ -287,7 +287,21 @@ class DynamicBatcher:
     knob), pads the batch up the power-of-two bucket ladder, runs the
     jitted ``serve_fn`` once, and distributes per-row results. Padding
     replicates row 0 (real data → no NaN/denormal risk) and is sliced
-    off before delivery."""
+    off before delivery.
+
+    Dispatch is PIPELINED: JAX execution is asynchronous, so the
+    dispatcher only *launches* the jitted program and hands the lazy
+    outputs to a completion thread, which blocks on the device→host
+    readback and delivers per-row results. Up to ``pipeline_depth``
+    batches may be awaiting readback while the dispatcher forms and
+    launches the next one — this overlaps host stacking/JSON work with
+    device compute, and on a remote-attached device (e.g. the axon
+    relay, ~200 ms per round trip) it is the difference between
+    RTT-serialized and RTT-overlapped throughput (measured 298.6 →
+    see bench_daemon runs in TODO.md). ``pipeline_depth=1`` still
+    permits one launch while one readback is in flight; the completion
+    queue's bound provides backpressure so device work cannot pile up
+    unboundedly."""
 
     def __init__(
         self,
@@ -300,6 +314,7 @@ class DynamicBatcher:
         max_wait_ms: float = 2.0,
         divisor: int = 1,
         max_queue: Optional[int] = None,
+        pipeline_depth: int = 4,
     ):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
@@ -330,10 +345,20 @@ class DynamicBatcher:
         self.rows_padded = 0
         self.rows_total = 0
         self._latencies = deque(maxlen=2048)
+        # launched-but-not-read-back batches; the bound is the
+        # pipelining backpressure (dispatcher blocks on put when full)
+        self.pipeline_depth = max(1, int(pipeline_depth))
+        self._inflight: "queue.Queue" = queue.Queue(
+            maxsize=self.pipeline_depth
+        )
+        self._stopped = False
+        self._completer = threading.Thread(
+            target=self._complete_loop, name="fov-completer", daemon=True
+        )
+        self._completer.start()
         self._thread = threading.Thread(
             target=self._loop, name="fov-batcher", daemon=True
         )
-        self._stopped = False
         self._thread.start()
 
     # -- client side --------------------------------------------------
@@ -439,12 +464,15 @@ class DynamicBatcher:
                 except queue.Empty:
                     break
                 if nxt is None:
-                    self._dispatch(batch)
+                    self._launch(batch)
                     return
                 batch.append(nxt)
-            self._dispatch(batch)
+            self._launch(batch)
 
-    def _dispatch(self, batch):
+    def _launch(self, batch):
+        """Stack + dispatch the jitted program (async) and enqueue the
+        lazy outputs for the completion thread. Blocks only when
+        ``pipeline_depth`` batches are already awaiting readback."""
         n = len(batch)
         b = self._bucket(n)
         try:
@@ -455,20 +483,40 @@ class DynamicBatcher:
                     rows += [rows[0]] * (b - n)
                 stacked[key] = np.stack(rows)
             out = self._serve(stacked)
-            host = {k: np.asarray(v) for k, v in out.items()}
-            for i, p in enumerate(batch):
-                p.result = {k: v[i] for k, v in host.items()}
-                p.event.set()
         except Exception as e:  # noqa: BLE001 — deliver to all waiters
-            for p in batch:
-                p.error = e
-                p.event.set()
+            self._deliver_error(batch, b, e)
+            return
+        self._inflight.put((batch, b, out))
+
+    def _complete_loop(self):
+        while True:
+            item = self._inflight.get()
+            if item is None:
+                return
+            batch, b, out = item
+            try:
+                host = {k: np.asarray(v) for k, v in out.items()}
+                for i, p in enumerate(batch):
+                    p.result = {k: v[i] for k, v in host.items()}
+                    p.event.set()
+            except Exception as e:  # noqa: BLE001 — device-side failure
+                self._deliver_error(batch, b, e)
+                continue
+            self._account(batch, b)
+
+    def _deliver_error(self, batch, b, e):
+        for p in batch:
+            p.error = e
+            p.event.set()
+        self._account(batch, b)
+
+    def _account(self, batch, b):
         now = time.monotonic()
         with self._lock:
-            self.n_requests += n
+            self.n_requests += len(batch)
             self.n_batches += 1
             self.rows_total += b
-            self.rows_padded += b - n
+            self.rows_padded += b - len(batch)
             for p in batch:
                 self._latencies.append(now - p.t_submit)
 
@@ -484,6 +532,7 @@ class DynamicBatcher:
                 "requests": self.n_requests,
                 "rejected": self.n_rejected,
                 "queue_depth": self._q.qsize(),
+                "inflight": self._inflight.qsize(),
                 "batches": self.n_batches,
                 "mean_batch": round(self.n_requests / max(self.n_batches, 1), 2),
                 "pad_fraction": round(
@@ -499,6 +548,9 @@ class DynamicBatcher:
             self._stopped = True
             self._q.put(None)
             self._thread.join(timeout=10)
+            # dispatcher is done launching; flush the completion pipeline
+            self._inflight.put(None)
+            self._completer.join(timeout=30)
             # a submit() racing past the _stopped check can land behind
             # the sentinel — fail those fast instead of letting their
             # waiters sit out the full timeout
@@ -951,6 +1003,7 @@ def serve_daemon(
     impl: str = "xla",
     mesh=None,
     warmup: bool = True,
+    pipeline_depth: int = 4,
 ) -> FovServer:
     """Build the jitted serve fn + batcher + TCP server (not yet
     serving — call ``serve_forever()`` or use it from tests). With
@@ -998,5 +1051,6 @@ def serve_daemon(
         max_batch=max_batch,
         max_wait_ms=max_wait_ms,
         divisor=divisor,
+        pipeline_depth=pipeline_depth,
     )
     return FovServer((host, port), batcher, reload_ctx=(store, cfg, fam))

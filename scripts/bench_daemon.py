@@ -32,6 +32,7 @@ def main():
     ap.add_argument("--requests", type=int, default=20, help="per client")
     ap.add_argument("--max-batch", type=int, default=256)
     ap.add_argument("--max-wait-ms", type=float, default=2.0)
+    ap.add_argument("--pipeline-depth", type=int, default=4)
     ap.add_argument("--impl", default="xla", choices=("auto", "xla", "fused"))
     ap.add_argument("--cpu", action="store_true", help="pin the CPU platform")
     ap.add_argument("--no-tiles", action="store_true")
@@ -61,6 +62,7 @@ def main():
         params, cfg, fam, port=0,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
         with_tiles=not args.no_tiles, impl=args.impl,
+        pipeline_depth=args.pipeline_depth,
     )
     print(f"warmup (all buckets): {time.time()-t0:.1f}s", file=sys.stderr)
     threading.Thread(target=server.serve_forever, daemon=True).start()
@@ -121,6 +123,7 @@ def main():
         "clients": args.clients,
         "requests": n,
         "bulk": args.bulk,
+        "pipeline_depth": args.pipeline_depth,
         "req_per_s": round(n / wall, 1),
         "windows_per_s": round(n * max(args.bulk, 1) / wall, 1),
         "latency_ms_p50": pct(0.50),

@@ -115,6 +115,65 @@ def test_batcher_rejects_bad_shapes_and_unknown_extras():
         bat.stop()
 
 
+def test_pipelined_dispatch_launches_ahead_of_readback():
+    """The dispatcher must keep LAUNCHING batches while earlier batches
+    are still awaiting device→host readback (the completion thread),
+    up to pipeline_depth of backpressure — the overlap that amortizes
+    per-dispatch latency on a remote-attached device."""
+    gate = threading.Event()
+    launches = []
+
+    class Lazy:  # stands in for a lazy JAX device array
+        def __init__(self, v):
+            self.v = np.asarray(v)
+
+        def __array__(self, dtype=None, copy=None):
+            assert gate.wait(20), "reader never released"
+            return self.v.astype(dtype) if dtype else self.v
+
+    def serve_fn(batch):
+        launches.append(batch["past"].shape[0])
+        return {"yaw": Lazy(batch["past"][:, 0, 0])}
+
+    bat = serving.DynamicBatcher(
+        serve_fn, h_in=5, max_batch=1, max_wait_ms=0.0, pipeline_depth=2
+    )
+    try:
+        pasts = [np.full((5, 3), float(i), np.float32) for i in range(3)]
+        pending = [bat.submit(p) for p in pasts]
+        deadline = time.monotonic() + 10
+        while len(launches) < 3 and time.monotonic() < deadline:
+            time.sleep(0.01)
+        # readback is gated shut, yet all 3 batches launched (1 in the
+        # completer's hands + pipeline_depth=2 queued)
+        assert len(launches) == 3
+        assert not pending[0].event.is_set()
+        gate.set()
+        for i, p in enumerate(pending):
+            assert p.event.wait(10)
+            assert p.error is None, p.error
+            np.testing.assert_allclose(p.result["yaw"], float(i))
+        assert bat.stats()["batches"] == 3
+    finally:
+        bat.stop()
+
+
+def test_pipelined_readback_errors_delivered():
+    class Boom:
+        def __array__(self, dtype=None, copy=None):
+            raise RuntimeError("transfer failed")
+
+    def serve_fn(batch):
+        return {"yaw": Boom()}
+
+    bat = serving.DynamicBatcher(serve_fn, h_in=5, max_batch=4)
+    try:
+        with pytest.raises(RuntimeError, match="transfer failed"):
+            bat.predict(np.zeros((5, 3), np.float32), timeout=10)
+    finally:
+        bat.stop()
+
+
 def test_batcher_delivers_errors():
     def broken(batch):
         raise RuntimeError("kaboom")
