@@ -98,8 +98,16 @@ def make_serve_fn(
     impl: str = "xla",
     mesh=None,
     param_store: Optional[ParamStore] = None,
+    packed: bool = False,
 ) -> Callable:
     """One jitted program: batch dict → {"yaw", "pitch", ["prefetch"]}.
+
+    ``packed`` concatenates every output into ONE ``(B, 2*H_out[+M])``
+    f32 array inside the jitted program and attaches an ``.unpack``
+    attribute (host numpy → the usual dict). One output buffer means
+    one device→host transfer; over the axon relay each fetch is a
+    ~29 ms round trip, so the dict form costs 3 RTTs per batch where
+    packed costs 1 — this is what the DynamicBatcher uses.
 
     ``impl="fused"`` routes through the family's whole-request Pallas
     serve kernel (the fastest tier, BASELINE.md); ``"xla"`` uses the
@@ -155,6 +163,10 @@ def make_serve_fn(
             )  # (B, H_out, M)
             # union over the horizon = this tick's prefetch set
             out["prefetch"] = jnp.any(mask, axis=1)
+        if packed:
+            return jnp.concatenate(
+                [v.astype(jnp.float32) for v in out.values()], axis=-1
+            )
         return out
 
     if mesh is not None:
@@ -175,7 +187,22 @@ def make_serve_fn(
 
     jitted = jax.jit(serve)
     store = param_store if param_store is not None else ParamStore(params)
-    return lambda batch: jitted(store.params, batch)
+    fn = lambda batch: jitted(store.params, batch)  # noqa: E731
+    if packed:
+        h_out = cfg.model.h_out
+        n_tiles = tile_rows * tile_cols if with_tiles else 0
+
+        def unpack(host: np.ndarray) -> Dict[str, np.ndarray]:
+            out = {
+                "yaw": host[..., :h_out],
+                "pitch": host[..., h_out : 2 * h_out],
+            }
+            if n_tiles:
+                out["prefetch"] = host[..., 2 * h_out :] > 0.5
+            return out
+
+        fn.unpack = unpack
+    return fn
 
 
 def extra_specs_for(cfg) -> Dict[str, Tuple[int, ...]]:
@@ -269,10 +296,19 @@ def load_exported_params(npz_path: str, cfg, fam):
 
 
 class _Pending:
-    __slots__ = ("arrays", "event", "result", "error", "t_submit")
+    """One queued unit of work: ``n`` request rows sharing one waiter.
 
-    def __init__(self, arrays):
+    ``arrays`` values always carry a leading row axis (n, ...) so the
+    dispatcher can concatenate single-viewer and bulk entries into one
+    device batch with no per-row Python work. ``n == 1`` entries get
+    their results delivered squeezed (per-row arrays), bulk entries get
+    the (n, ...) slice."""
+
+    __slots__ = ("arrays", "n", "event", "result", "error", "t_submit")
+
+    def __init__(self, arrays, n=1):
         self.arrays = arrays
+        self.n = n
         self.event = threading.Event()
         self.result = None
         self.error = None
@@ -337,6 +373,9 @@ class DynamicBatcher:
         self._q: "queue.Queue[Optional[_Pending]]" = queue.Queue(
             maxsize=self.max_queue + 1  # +1 slot reserved for the sentinel
         )
+        # admission is counted in ROWS (a bulk entry is n rows of device
+        # work), tracked here because Queue.qsize counts entries
+        self._queued_rows = 0
         self._lock = threading.Lock()
         # metrics
         self.n_requests = 0
@@ -352,10 +391,19 @@ class DynamicBatcher:
             maxsize=self.pipeline_depth
         )
         self._stopped = False
-        self._completer = threading.Thread(
-            target=self._complete_loop, name="fov-completer", daemon=True
-        )
-        self._completer.start()
+        # one completer per pipeline slot: each device→host readback is
+        # a full relay round trip (~29 ms on axon), so concurrent
+        # fetches turn that RTT from a throughput bound into latency
+        self._completers = [
+            threading.Thread(
+                target=self._complete_loop,
+                name=f"fov-completer-{i}",
+                daemon=True,
+            )
+            for i in range(self.pipeline_depth)
+        ]
+        for t in self._completers:
+            t.start()
         self._thread = threading.Thread(
             target=self._loop, name="fov-batcher", daemon=True
         )
@@ -415,21 +463,96 @@ class DynamicBatcher:
             arrays["other_mask"] = (
                 np.abs(arrays["other_future"]).max(axis=(1, 2)) > 0
             ).astype(np.float32)
+        p = _Pending({k: v[None] for k, v in arrays.items()})
+        self._enqueue(p)
+        return p
+
+    def submit_many(self, pasts: np.ndarray, **extras) -> list:
+        """Queue N windows as bulk entries (the gateway `predict_batch`
+        path): ONE waiter per ≤``max_batch`` chunk instead of one per
+        window, so a 4096-window request costs a handful of queue and
+        dispatch operations rather than 4096 Python round trips through
+        the coalescing loop (measured 1.6K → device-bound windows/s on
+        the TPU daemon). Extras follow ``extra_specs`` with a leading N
+        axis. Returns the list of pending chunks in row order; each
+        result holds the ``(chunk_rows, ...)`` output slice."""
+        pasts = np.ascontiguousarray(np.asarray(pasts, np.float32))
+        if pasts.ndim != 3 or pasts.shape[1:] != (self.h_in, 3):
+            raise ValueError(
+                f"pasts must be (N, {self.h_in}, 3) xyz, got {pasts.shape}"
+            )
+        n = pasts.shape[0]
+        if n == 0:
+            raise ValueError("empty bulk request")
+        arrays = {"past": pasts}
+        supplied = {k for k, v in extras.items() if v is not None}
+        missing_req = self.required - supplied
+        if missing_req:
+            raise ValueError(
+                f"this daemon's model family requires extras "
+                f"{sorted(missing_req)} in every request (they have no "
+                f"validity mask, so zero-fill would be wrong, not 'absent')"
+            )
+        for name, shape in self.extra_specs.items():
+            given = extras.pop(name, None)
+            if given is None:
+                arrays[name] = np.zeros((n,) + shape, np.float32)
+            else:
+                given = np.asarray(given, np.float32)
+                if name == "other_future" and given.ndim == 4 and (
+                    given.shape[1] < shape[0]
+                ):  # fewer peers than the preset's K → pad (mask gates)
+                    pad = np.zeros(
+                        (n, shape[0] - given.shape[1]) + shape[1:], np.float32
+                    )
+                    given = np.concatenate([given, pad], axis=1)
+                if given.shape != (n,) + shape:
+                    raise ValueError(
+                        f"extra {name!r} must have shape {(n,) + shape}, "
+                        f"got {given.shape}"
+                    )
+                arrays[name] = given
+        if extras:
+            raise ValueError(f"unknown extras: {sorted(extras)}")
+        if (
+            "other_mask" in self.extra_specs
+            and "other_mask" not in supplied
+            and "other_future" in supplied
+        ):
+            arrays["other_mask"] = (
+                np.abs(arrays["other_future"]).max(axis=(2, 3)) > 0
+            ).astype(np.float32)
+        pendings = []
+        for ofs in range(0, n, self.max_batch):
+            chunk = {
+                k: v[ofs:ofs + self.max_batch] for k, v in arrays.items()
+            }
+            p = _Pending(chunk, n=chunk["past"].shape[0])
+            self._enqueue(p)
+            pendings.append(p)
+        return pendings
+
+    def _enqueue(self, p: _Pending):
         if self._stopped:
             raise RuntimeError("batcher is stopped")
-        p = _Pending(arrays)
+        with self._lock:
+            if self._queued_rows + p.n > self.max_queue:
+                self.n_rejected += p.n
+                raise RuntimeError(
+                    f"overloaded: {self._queued_rows} rows already queued "
+                    f"of {self.max_queue} max (retry with backoff)"
+                )
+            self._queued_rows += p.n
         try:
-            if self._q.qsize() >= self.max_queue:
-                raise queue.Full
             self._q.put_nowait(p)
-        except queue.Full:
+        except queue.Full:  # sentinel slot contention — treat as overload
             with self._lock:
-                self.n_rejected += 1
+                self._queued_rows -= p.n
+                self.n_rejected += p.n
             raise RuntimeError(
-                f"overloaded: {self.max_queue} requests already queued "
+                f"overloaded: {self.max_queue} rows already queued "
                 f"(retry with backoff)"
             ) from None
-        return p
 
     def predict(self, past: np.ndarray, timeout: float = 30.0, **extras):
         """submit + wait: → dict of per-request numpy arrays."""
@@ -448,40 +571,67 @@ class DynamicBatcher:
             b *= 2
         return min(b, self.max_batch)
 
+    def _take(self, timeout=None):
+        """Dequeue one entry (or the sentinel), maintaining the row
+        count the admission check reads."""
+        p = (
+            self._q.get()
+            if timeout is None
+            else self._q.get(timeout=timeout)
+        )
+        if p is not None:
+            with self._lock:
+                self._queued_rows -= p.n
+        return p
+
     def _loop(self):
+        carry = None
         while True:
-            first = self._q.get()
+            first = carry if carry is not None else self._take()
+            carry = None
             if first is None:
                 return
             batch = [first]
+            rows = first.n
             deadline = time.monotonic() + self.max_wait_s
-            while len(batch) < self.max_batch:
+            while rows < self.max_batch:
                 left = deadline - time.monotonic()
                 if left <= 0:
                     break
                 try:
-                    nxt = self._q.get(timeout=left)
+                    nxt = self._take(timeout=left)
                 except queue.Empty:
                     break
                 if nxt is None:
                     self._launch(batch)
                     return
+                if rows + nxt.n > self.max_batch:
+                    carry = nxt  # would burst the bucket cap → next batch
+                    break
                 batch.append(nxt)
+                rows += nxt.n
             self._launch(batch)
 
     def _launch(self, batch):
         """Stack + dispatch the jitted program (async) and enqueue the
         lazy outputs for the completion thread. Blocks only when
         ``pipeline_depth`` batches are already awaiting readback."""
-        n = len(batch)
+        n = sum(p.n for p in batch)
         b = self._bucket(n)
         try:
             stacked = {}
             for key in batch[0].arrays:
-                rows = [p.arrays[key] for p in batch]
+                blocks = [p.arrays[key] for p in batch]
                 if b > n:  # pad with copies of row 0 (sliced off below)
-                    rows += [rows[0]] * (b - n)
-                stacked[key] = np.stack(rows)
+                    row0 = blocks[0][:1]
+                    blocks.append(
+                        np.broadcast_to(row0, (b - n,) + row0.shape[1:])
+                    )
+                stacked[key] = (
+                    np.concatenate(blocks)
+                    if len(blocks) > 1
+                    else np.ascontiguousarray(blocks[0])
+                )
             out = self._serve(stacked)
         except Exception as e:  # noqa: BLE001 — deliver to all waiters
             self._deliver_error(batch, b, e)
@@ -495,9 +645,20 @@ class DynamicBatcher:
                 return
             batch, b, out = item
             try:
-                host = {k: np.asarray(v) for k, v in out.items()}
-                for i, p in enumerate(batch):
-                    p.result = {k: v[i] for k, v in host.items()}
+                unpack = getattr(self._serve, "unpack", None)
+                if unpack is not None:  # packed: ONE device→host fetch
+                    host = unpack(np.asarray(out))
+                else:
+                    host = {k: np.asarray(v) for k, v in out.items()}
+                ofs = 0
+                for p in batch:
+                    if p.n == 1:  # single request: per-row arrays
+                        p.result = {k: v[ofs] for k, v in host.items()}
+                    else:  # bulk chunk: the (n, ...) slice
+                        p.result = {
+                            k: v[ofs:ofs + p.n] for k, v in host.items()
+                        }
+                    ofs += p.n
                     p.event.set()
             except Exception as e:  # noqa: BLE001 — device-side failure
                 self._deliver_error(batch, b, e)
@@ -512,11 +673,12 @@ class DynamicBatcher:
 
     def _account(self, batch, b):
         now = time.monotonic()
+        rows = sum(p.n for p in batch)
         with self._lock:
-            self.n_requests += len(batch)
+            self.n_requests += rows
             self.n_batches += 1
             self.rows_total += b
-            self.rows_padded += b - len(batch)
+            self.rows_padded += b - rows
             for p in batch:
                 self._latencies.append(now - p.t_submit)
 
@@ -531,7 +693,7 @@ class DynamicBatcher:
             return {
                 "requests": self.n_requests,
                 "rejected": self.n_rejected,
-                "queue_depth": self._q.qsize(),
+                "queue_depth": self._queued_rows,
                 "inflight": self._inflight.qsize(),
                 "batches": self.n_batches,
                 "mean_batch": round(self.n_requests / max(self.n_batches, 1), 2),
@@ -549,8 +711,10 @@ class DynamicBatcher:
             self._q.put(None)
             self._thread.join(timeout=10)
             # dispatcher is done launching; flush the completion pipeline
-            self._inflight.put(None)
-            self._completer.join(timeout=30)
+            for _ in self._completers:
+                self._inflight.put(None)
+            for t in self._completers:
+                t.join(timeout=30)
             # a submit() racing past the _stopped check can land behind
             # the sentinel — fail those fast instead of letting their
             # waiters sit out the full timeout
@@ -851,31 +1015,33 @@ class FovServer(socketserver.ThreadingTCPServer):
                 for k in self.batcher.extra_specs
                 if req.get(k) is not None
             }
-            pending = [
-                self.batcher.submit(
-                    pasts[i], **{k: v[i] for k, v in extras_all.items()}
-                )
-                for i in range(pasts.shape[0])
-            ]
-            preds = []
+            pending = self.batcher.submit_many(pasts, **extras_all)
+            parts = []
             deadline = time.monotonic() + self.request_timeout
             for p in pending:
                 if not p.event.wait(max(deadline - time.monotonic(), 0)):
                     raise TimeoutError("prediction timed out")
                 if p.error is not None:
                     raise p.error
-                preds.append(p.result)
+                parts.append(p.result)
+            host = {
+                k: (
+                    np.concatenate([r[k] for r in parts])
+                    if len(parts) > 1
+                    else parts[0][k]
+                )
+                for k in parts[0]
+            }
             out = {
                 "id": rid,
-                "yaw": [[round(float(v), 6) for v in r["yaw"]] for r in preds],
-                "pitch": [
-                    [round(float(v), 6) for v in r["pitch"]] for r in preds
-                ],
+                "yaw": np.round(host["yaw"].astype(np.float64), 6).tolist(),
+                "pitch": np.round(
+                    host["pitch"].astype(np.float64), 6
+                ).tolist(),
             }
-            if preds and "prefetch" in preds[0]:
+            if "prefetch" in host:
                 out["prefetch"] = [
-                    [int(i) for i in np.nonzero(r["prefetch"])[0]]
-                    for r in preds
+                    np.flatnonzero(row).tolist() for row in host["prefetch"]
                 ]
             return out
         if op == "push":
@@ -936,11 +1102,15 @@ class FovServer(socketserver.ThreadingTCPServer):
     def _prediction(rid, res: Dict) -> Dict:
         out = {
             "id": rid,
-            "yaw": [round(float(v), 6) for v in res["yaw"]],
-            "pitch": [round(float(v), 6) for v in res["pitch"]],
+            "yaw": np.round(
+                np.asarray(res["yaw"], np.float64), 6
+            ).tolist(),
+            "pitch": np.round(
+                np.asarray(res["pitch"], np.float64), 6
+            ).tolist(),
         }
         if "prefetch" in res:
-            out["prefetch"] = [int(i) for i in np.nonzero(res["prefetch"])[0]]
+            out["prefetch"] = np.flatnonzero(res["prefetch"]).tolist()
         return out
 
 
@@ -1025,6 +1195,7 @@ def serve_daemon(
         impl=impl,
         mesh=mesh,
         param_store=store,
+        packed=True,
     )
     specs = extra_specs_for(cfg)
     divisor = 1 if mesh is None else int(mesh.devices.size)
@@ -1039,7 +1210,7 @@ def serve_daemon(
             dummy["past"][..., 0] = 1.0  # on-sphere
             for name, shape in specs.items():
                 dummy[name] = np.zeros((b,) + shape, np.float32)
-            np.asarray(serve_fn(dummy)["yaw"])
+            np.asarray(serve_fn(dummy))  # packed: single output array
             if b >= max_batch:
                 break
             b = min(b * 2, max_batch)

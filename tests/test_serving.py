@@ -90,6 +90,143 @@ def test_padding_and_cobatching_invariance():
         bat.stop()
 
 
+def test_packed_serve_matches_dict_serve():
+    """packed=True (one fused output buffer, one device→host transfer —
+    the daemon's readback path) must round-trip to exactly the dict
+    outputs, prefetch restored to bool."""
+    cfg, fam, params = make_setup()
+    rng = np.random.default_rng(1)
+    pasts = random_past(rng, 5)
+    batch = {"past": jnp.asarray(pasts)}
+
+    ref = serving.make_serve_fn(params, cfg, fam, with_tiles=True)(batch)
+    pk = serving.make_serve_fn(params, cfg, fam, with_tiles=True, packed=True)
+    got = pk.unpack(np.asarray(pk(batch)))
+
+    np.testing.assert_allclose(got["yaw"], np.asarray(ref["yaw"]), atol=1e-6)
+    np.testing.assert_allclose(
+        got["pitch"], np.asarray(ref["pitch"]), atol=1e-6
+    )
+    assert got["prefetch"].dtype == bool
+    np.testing.assert_array_equal(got["prefetch"], np.asarray(ref["prefetch"]))
+
+    # no-tiles packed program: just [yaw | pitch]
+    pk2 = serving.make_serve_fn(
+        params, cfg, fam, with_tiles=False, packed=True
+    )
+    got2 = pk2.unpack(np.asarray(pk2(batch)))
+    assert set(got2) == {"yaw", "pitch"}
+    np.testing.assert_allclose(got2["yaw"], np.asarray(ref["yaw"]), atol=1e-6)
+
+
+def test_batcher_with_packed_serve_fn():
+    """The DynamicBatcher auto-detects .unpack and delivers dict results
+    identical to the dict-mode batcher path."""
+    cfg, fam, params = make_setup()
+    serve_fn = serving.make_serve_fn(
+        params, cfg, fam, with_tiles=True, packed=True
+    )
+    rng = np.random.default_rng(2)
+    pasts = random_past(rng, 6)
+    ref = serve_fn.unpack(np.asarray(serve_fn({"past": jnp.asarray(pasts)})))
+
+    bat = serving.DynamicBatcher(
+        serve_fn, h_in=5, max_batch=8, max_wait_ms=50.0
+    )
+    try:
+        pending = [bat.submit(p) for p in pasts]
+        for i, p in enumerate(pending):
+            assert p.event.wait(30)
+            assert p.error is None, p.error
+            np.testing.assert_allclose(
+                p.result["yaw"], ref["yaw"][i], atol=1e-5
+            )
+            assert p.result["prefetch"].dtype == bool
+    finally:
+        bat.stop()
+
+
+def test_submit_many_chunking_and_parity():
+    """submit_many (the gateway bulk path) must split N windows into
+    ≤max_batch row chunks, coalesce with single submits, and produce
+    exactly the per-window answers of the one-shot jitted program."""
+    cfg, fam, params = make_setup()
+    serve_fn = serving.make_serve_fn(
+        params, cfg, fam, with_tiles=True, packed=True
+    )
+    rng = np.random.default_rng(7)
+    pasts = random_past(rng, 21)
+    ref = serve_fn.unpack(np.asarray(serve_fn({"past": jnp.asarray(pasts)})))
+
+    bat = serving.DynamicBatcher(
+        serve_fn, h_in=5, max_batch=8, max_wait_ms=20.0
+    )
+    try:
+        single = bat.submit(pasts[0])  # rides alongside the bulk chunks
+        pendings = bat.submit_many(pasts)
+        assert [p.n for p in pendings] == [8, 8, 5]  # 21 rows, cap 8
+        parts = []
+        for p in pendings:
+            assert p.event.wait(30)
+            assert p.error is None, p.error
+            parts.append(p.result)
+        got = {k: np.concatenate([r[k] for r in parts]) for k in parts[0]}
+        np.testing.assert_allclose(got["yaw"], ref["yaw"], atol=1e-5)
+        np.testing.assert_allclose(got["pitch"], ref["pitch"], atol=1e-5)
+        np.testing.assert_array_equal(got["prefetch"], ref["prefetch"])
+        assert single.event.wait(30) and single.error is None
+        np.testing.assert_allclose(single.result["yaw"], ref["yaw"][0],
+                                   atol=1e-5)
+        # rows (not entries) are what accounting counts
+        assert bat.stats()["requests"] == 22
+    finally:
+        bat.stop()
+
+
+def test_submit_many_extras_and_overload():
+    """Bulk extras (leading-N axis, peer padding, default mask) must
+    match per-request submits; admission control counts ROWS."""
+    cfg, fam, params = make_setup("cross_user")
+    serve_fn = serving.make_serve_fn(params, cfg, fam, with_tiles=False)
+    rng = np.random.default_rng(8)
+    pasts = random_past(rng, 4)
+    # 1 peer where the preset wants K=2 → padded + masked per row
+    fut = rng.normal(size=(4, 1, cfg.model.h_out, 3)).astype(np.float32)
+
+    bat = serving.DynamicBatcher(
+        serve_fn,
+        h_in=5,
+        extra_specs=serving.extra_specs_for(cfg),
+        max_batch=8,
+        max_wait_ms=20.0,
+    )
+    try:
+        bulk = bat.submit_many(pasts, other_future=fut)
+        singles = [bat.submit(pasts[i], other_future=fut[i]) for i in range(4)]
+        assert all(p.event.wait(30) and p.error is None for p in bulk)
+        assert all(p.event.wait(30) and p.error is None for p in singles)
+        got = np.concatenate([p.result["yaw"] for p in bulk])
+        want = np.stack([p.result["yaw"] for p in singles])
+        np.testing.assert_allclose(got, want, atol=1e-6)
+    finally:
+        bat.stop()
+
+    # row-counted admission: a bulk burst past max_queue rejects loudly
+    bat2 = serving.DynamicBatcher(
+        serve_fn,
+        h_in=5,
+        extra_specs=serving.extra_specs_for(cfg),
+        max_batch=4,
+        max_queue=8,
+        max_wait_ms=200.0,
+    )
+    try:
+        with pytest.raises(RuntimeError, match="overloaded"):
+            bat2.submit_many(random_past(rng, 64))
+    finally:
+        bat2.stop()
+
+
 def test_bucket_ladder():
     cfg, fam, params = make_setup()
     serve_fn = serving.make_serve_fn(params, cfg, fam, with_tiles=False)
