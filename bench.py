@@ -47,10 +47,13 @@ BATCH_FUSED = 262144
 ITERS = 10
 DEADLINE_S = 540
 TIERS = {
-    # name: (impl, batch, min_remaining_s_to_attempt)
-    "xla-f32-b4096": ("xla-f32", 4096, 10),
-    "xla-bf16-b16384": ("xla-bf16", 16384, 20),
-    "fused-f32-b262144": ("fused", BATCH_FUSED, 70),
+    # name: (impl, batch, min_remaining_s_to_attempt, hang_budget_s)
+    # hang_budget bounds ONE tier's wedged-RPC stall inside a child; it
+    # is sized for the worst healthy case (cold-relay first compile
+    # ~240 s lands on the cheapest tier) so it only fires on real hangs
+    "xla-f32-b4096": ("xla-f32", 4096, 10, 330),
+    "xla-bf16-b16384": ("xla-bf16", 16384, 20, 150),
+    "fused-f32-b262144": ("fused", BATCH_FUSED, 70, 260),
 }
 # one child measures EVERYTHING (one process warmup, one relay
 # session, cheap tiers first so a mid-run wedge still leaves numbers);
@@ -134,11 +137,35 @@ def prior_measurement():
 # ---------------------------------------------------------------------------
 
 
+def _wedge_exit(tag):
+    """SIGALRM handler factory: a hung relay RPC cannot be cancelled
+    in-process, so the only recovery is to EXIT and let the parent
+    relaunch a fresh child (= fresh relay session). os._exit skips
+    atexit/runtime teardown, which itself can hang on a wedged relay."""
+
+    def handler(*_args):
+        log(f"child: WEDGE during [{tag}] — exiting for a fresh session")
+        os._exit(3)
+
+    return handler
+
+
 def child_main(tier_names):
     import dataclasses
 
+    # fast-fail probe BEFORE any heavy work: today's observed failure
+    # mode (r3, 2026-08-19) is tunnel ports UP but the relay backend
+    # hung — a connect succeeds and then every op blocks forever. A
+    # tiny matmul bounds that to 90 s instead of the parent's full
+    # child timeout, so the parent gets more retry shots per deadline.
+    signal.signal(signal.SIGALRM, _wedge_exit("relay probe"))
+    signal.alarm(90)
     import jax
     import jax.numpy as jnp
+
+    float(jnp.sum(jnp.ones((128, 128)) @ jnp.ones((128, 128))))
+    signal.alarm(0)
+    log("child: relay probe ok")
 
     from longterm360fov_tpu import oracle, windows
     from longterm360fov_tpu.config import get_preset
@@ -153,8 +180,11 @@ def child_main(tier_names):
         np.float32
     )
     past_h /= np.linalg.norm(past_h, axis=-1, keepdims=True)
+    signal.signal(signal.SIGALRM, _wedge_exit("device transfer"))
+    signal.alarm(120)
     params = jax.tree.map(jnp.asarray, params_np)
     past = jnp.asarray(past_h)
+    signal.alarm(0)
     log("child: params+batch on device")
 
     def make_xla(dtype_name):
@@ -191,13 +221,19 @@ def child_main(tier_names):
         return time.time() - t0
 
     for name in tier_names:
-        impl, batch, _ = TIERS[name]
+        impl, batch, _, hang_budget = TIERS[name]
         fn = impls[impl]
         x = past[:batch]
+        # "starting" marker lets the parent attribute a wedge-exit to
+        # this tier and deprioritize it on the next fresh child
+        print(json.dumps({"starting": name}), flush=True)
+        signal.signal(signal.SIGALRM, _wedge_exit(name))
+        signal.alarm(hang_budget)
         t_warm = timed(fn, x, 1)
         log(f"child [{name}] compile+run1: {t_warm:.1f}s")
         t1 = timed(fn, x, 1)
         t2 = timed(fn, x, 1 + ITERS)
+        signal.alarm(0)
         thr = batch * ITERS / max(t2 - t1, 1e-9)
         log(f"child [{name}] {thr:,.0f} traj/s")
         # plausibility guard: >60% of the bf16 MXU peak means the
@@ -245,6 +281,27 @@ def relay_tunnel_up():
         finally:
             s.close()
     return False
+
+
+def harvest(rows, measured, wedged):
+    """Classify one child's output rows: record completed tiers in
+    ``measured`` and, when the child died mid-tier (its last
+    ``{"starting": name}`` marker has no matching value row), charge a
+    wedge to that tier in ``wedged`` so retries deprioritize it.
+    Pure logic — unit-tested in tests/test_bench.py."""
+    for r in rows:
+        if "tier" in r and "value" in r:
+            measured.add(r["tier"])
+    started = [r["starting"] for r in rows if "starting" in r]
+    if started and started[-1] not in measured:
+        wedged[started[-1]] = wedged.get(started[-1], 0) + 1
+
+
+def retry_order(missing, wedged, tier_order):
+    """Cheapest-compile-first, but tiers that wedged a child go last."""
+    return sorted(
+        missing, key=lambda n: (wedged.get(n, 0), tier_order.index(n))
+    )
 
 
 def run_child(tier_names, timeout_s):
@@ -323,17 +380,31 @@ def main():
                     tier=r["tier"],
                 )
 
+    measured = set()
+    wedged = {}  # tier -> times a child wedge-exited while on it
+
     rows = run_child(CHILD_A, min(440, max(remaining() - 40, 60)))
+    harvest(rows, measured, wedged)
     absorb(rows)
-    done = {r.get("tier") for r in rows}
-    missing = [n for n in CHILD_A if n not in done]
-    if missing and remaining() > 120:
-        # the session wedged partway — a FRESH child gets a fresh relay
-        # session; go straight for the most valuable missing tier, or
-        # the cheapest one if nothing at all landed
-        target = missing[-1] if done else missing[0]
-        log(f"missing tiers {missing}; fresh child for {target}")
-        absorb(run_child([target], max(remaining() - 20, 30)))
+    attempt = 0
+    while remaining() > 90 and attempt < 6:
+        missing = [n for n in CHILD_A if n not in measured]
+        if not missing:
+            break
+        attempt += 1
+        # fresh child = fresh relay session (in-child probe + per-tier
+        # alarms make wedge-exits fast, so several retries fit in the
+        # deadline and a mid-window relay recovery still gets caught)
+        order = retry_order(missing, wedged, CHILD_A)
+        log(f"retry {attempt}: missing {order} ({remaining():.0f}s left)")
+        t_before = time.time()
+        rows = run_child(order, max(min(remaining() - 30, 440), 45))
+        harvest(rows, measured, wedged)
+        absorb(rows)
+        if time.time() - t_before < 60 and any(
+            n not in measured for n in CHILD_A
+        ):
+            time.sleep(10)  # fast wedge-exit: backoff before retrying
 
     signal.alarm(0)
     emit_and_exit()
