@@ -150,16 +150,21 @@ def _wedge_exit(tag):
     return handler
 
 
-def child_main(tier_names):
+def child_main(tier_names, probe_budget=240):
     import dataclasses
 
     # fast-fail probe BEFORE any heavy work: today's observed failure
     # mode (r3, 2026-08-19) is tunnel ports UP but the relay backend
     # hung — a connect succeeds and then every op blocks forever. A
-    # tiny matmul bounds that to 90 s instead of the parent's full
-    # child timeout, so the parent gets more retry shots per deadline.
+    # tiny matmul bounds that instead of the parent's full child
+    # timeout, so the parent gets more retry shots per deadline.
+    # Budget is generous for the FIRST child (a healthy-but-cold relay
+    # session can spend minutes in backend init before the first op
+    # returns — ADVICE r3) and tight (90 s) for retry children, which
+    # only run after a first child already proved the session can come
+    # up or demonstrated the wedge mode.
     signal.signal(signal.SIGALRM, _wedge_exit("relay probe"))
-    signal.alarm(90)
+    signal.alarm(probe_budget)
     import jax
     import jax.numpy as jnp
 
@@ -220,15 +225,22 @@ def child_main(tier_names):
         float(jnp.sum(out))
         return time.time() - t0
 
-    for name in tier_names:
+    for i, name in enumerate(tier_names):
         impl, batch, _, hang_budget = TIERS[name]
         fn = impls[impl]
-        x = past[:batch]
+        # whichever tier runs FIRST in this child absorbs the session's
+        # cold-start costs (retry_order may put a cheap tier first), so
+        # it always gets the large budget (ADVICE r3)
+        if i == 0:
+            hang_budget = max(hang_budget, 330)
         # "starting" marker lets the parent attribute a wedge-exit to
-        # this tier and deprioritize it on the next fresh child
+        # this tier and deprioritize it on the next fresh child; armed
+        # BEFORE the first device interaction (the batch slice below
+        # dispatches over the relay too)
         print(json.dumps({"starting": name}), flush=True)
         signal.signal(signal.SIGALRM, _wedge_exit(name))
         signal.alarm(hang_budget)
+        x = past[:batch]
         t_warm = timed(fn, x, 1)
         log(f"child [{name}] compile+run1: {t_warm:.1f}s")
         t1 = timed(fn, x, 1)
@@ -237,11 +249,17 @@ def child_main(tier_names):
         thr = batch * ITERS / max(t2 - t1, 1e-9)
         log(f"child [{name}] {thr:,.0f} traj/s")
         # plausibility guard: >60% of the bf16 MXU peak means the
-        # barrier lied — never report an impossible number
+        # barrier lied — never report an impossible number. The
+        # explicit marker keeps harvest() from misreading a trailing
+        # rejection as a wedge (ADVICE r3).
         if thr * F.decode_flops(cfg) > 0.6 * F.V5E_BF16_PEAK:
             log(f"child [{name}] REJECTED: implies >60% MFU")
+            print(json.dumps({"rejected": name}), flush=True)
             continue
         print(json.dumps({"tier": name, "value": thr}), flush=True)
+    # clean-completion marker: a child that reached the end of its tier
+    # list was not wedged, whatever its last tier's outcome was
+    print(json.dumps({"done": True}), flush=True)
 
 
 # ---------------------------------------------------------------------------
@@ -286,14 +304,26 @@ def relay_tunnel_up():
 def harvest(rows, measured, wedged):
     """Classify one child's output rows: record completed tiers in
     ``measured`` and, when the child died mid-tier (its last
-    ``{"starting": name}`` marker has no matching value row), charge a
-    wedge to that tier in ``wedged`` so retries deprioritize it.
+    ``{"starting": name}`` marker has no matching value/rejected row
+    and no clean-completion ``{"done": true}`` marker), charge a wedge
+    to that tier in ``wedged`` so retries deprioritize it.
     Pure logic — unit-tested in tests/test_bench.py."""
+    rejected = set()
+    done = False
     for r in rows:
         if "tier" in r and "value" in r:
             measured.add(r["tier"])
+        if "rejected" in r:
+            rejected.add(r["rejected"])
+        if r.get("done"):
+            done = True
     started = [r["starting"] for r in rows if "starting" in r]
-    if started and started[-1] not in measured:
+    if (
+        started
+        and not done
+        and started[-1] not in measured
+        and started[-1] not in rejected
+    ):
         wedged[started[-1]] = wedged.get(started[-1], 0) + 1
 
 
@@ -304,12 +334,12 @@ def retry_order(missing, wedged, tier_order):
     )
 
 
-def run_child(tier_names, timeout_s):
+def run_child(tier_names, timeout_s, probe_budget=240):
     """Launch a child for the given tiers; harvest tier lines even if
     it has to be killed (lines are flushed as soon as measured)."""
     proc = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--child",
-         ",".join(tier_names)],
+         ",".join(tier_names), str(probe_budget)],
         stdout=subprocess.PIPE,
         stderr=sys.stderr,
         text=True,
@@ -398,7 +428,10 @@ def main():
         order = retry_order(missing, wedged, CHILD_A)
         log(f"retry {attempt}: missing {order} ({remaining():.0f}s left)")
         t_before = time.time()
-        rows = run_child(order, max(min(remaining() - 30, 440), 45))
+        # retry children use the tight probe budget: a first child has
+        # already either come up healthy or demonstrated the wedge mode
+        rows = run_child(order, max(min(remaining() - 30, 440), 45),
+                         probe_budget=90)
         harvest(rows, measured, wedged)
         absorb(rows)
         if time.time() - t_before < 60 and any(
@@ -412,6 +445,7 @@ def main():
 
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--child":
-        child_main(sys.argv[2].split(","))
+        budget = int(sys.argv[3]) if len(sys.argv) >= 4 else 240
+        child_main(sys.argv[2].split(","), probe_budget=budget)
     else:
         main()

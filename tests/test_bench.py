@@ -64,6 +64,32 @@ def test_harvest_ignores_non_terminal_gaps():
     assert wedged == {}
 
 
+def test_harvest_trailing_rejection_is_not_a_wedge():
+    # a tier rejected by the >60%-MFU plausibility guard at the END of
+    # the list prints an explicit marker; it must not be charged as a
+    # wedge (ADVICE r3)
+    measured, wedged = set(), {}
+    rows = [
+        {"starting": "a"},
+        {"tier": "a", "value": 1.0},
+        {"starting": "b"},
+        {"rejected": "b"},
+        {"done": True},
+    ]
+    bench.harvest(rows, measured, wedged)
+    assert measured == {"a"}
+    assert wedged == {}
+
+
+def test_harvest_done_marker_means_clean_completion():
+    # even without a rejected marker, {"done": true} proves the child
+    # reached the end of its loop — no wedge charge
+    measured, wedged = set(), {}
+    rows = [{"starting": "a"}, {"done": True}]
+    bench.harvest(rows, measured, wedged)
+    assert wedged == {}
+
+
 def test_harvest_empty_child_output():
     measured, wedged = set(), {}
     bench.harvest([], measured, wedged)
