@@ -1,11 +1,14 @@
 # Common targets. TPU targets need the chip free (one process at a time).
 
-.PHONY: test bench smoke experiments native demo clean
+.PHONY: test test-all bench smoke experiments native demo clean
 
 demo:  ## end-to-end on CPU: synth data -> train -> eval -> export -> online daemon
 	python scripts/demo.py
 
-test:
+test: native  ## fast tier (slow-marked kernel/mesh parity tests excluded)
+	python -m pytest tests/ -x -q -m "not slow"
+
+test-all: native  ## full suite incl. slow interpret-mode kernel parity
 	python -m pytest tests/ -x -q
 
 bench:  ## headline JSON line (runs on the TPU)
@@ -17,8 +20,9 @@ smoke:  ## compile+run every Pallas kernel on the real TPU
 experiments:  ## full preset matrix -> RESULTS.md (runs on the TPU)
 	python scripts/run_experiments.py --steps 2000
 
-native:  ## build the C data-plane extension
-	cd native && python setup.py build_ext --inplace
+native:  ## build the C data-plane extension into the package
+	python setup.py build_ext --inplace
 
 clean:
-	rm -rf native/build native/_fastio*.so .jax_cache* **/__pycache__
+	rm -rf build native/build native/_fastio*.so \
+	    longterm360fov_tpu/_fastio*.so .jax_cache* **/__pycache__

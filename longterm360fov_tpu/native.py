@@ -6,7 +6,10 @@ packed window materialization. The framework is fully functional
 without it — `traces.load_trace` / `windows.make_windows` keep their
 numpy implementations and this module routes to whichever is available.
 
-Build: ``cd native && python setup.py build_ext --inplace``
+Build: ``pip install -e .`` or ``make native`` (root
+``setup.py build_ext --inplace`` places the .so inside the package);
+the legacy ``cd native && python setup.py build_ext --inplace`` layout
+is still honored by the loader.
 """
 
 from __future__ import annotations
@@ -18,10 +21,24 @@ from typing import Tuple
 
 import numpy as np
 
-__all__ = ["HAVE_NATIVE", "parse_trace_bytes", "window_copy"]
+__all__ = [
+    "HAVE_NATIVE",
+    "parse_trace_bytes",
+    "window_copy",
+    "window_fill",
+    "build_native",
+]
 
 
 def _load():
+    # preferred location: built into the package by the root setup.py
+    try:
+        from . import _fastio  # noqa: PLC0415
+
+        return _fastio
+    except ImportError:
+        pass
+    # legacy location: native/_fastio*.so from native/setup.py
     root = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
     if root not in sys.path and glob.glob(os.path.join(root, "_fastio*.so")):
         sys.path.insert(0, root)
@@ -35,6 +52,38 @@ def _load():
 
 _fastio = _load()
 HAVE_NATIVE = _fastio is not None
+
+
+def build_native(quiet: bool = True) -> bool:
+    """Compile the extension in-place and (re)load it into this module.
+
+    Returns True when the C path is live afterwards. Used by the test
+    suite to turn "extension not built" skips into real coverage
+    whenever a compiler is present; safe to call when already built.
+    """
+    global _fastio, HAVE_NATIVE
+    if HAVE_NATIVE:
+        return True
+    import shutil
+    import subprocess
+
+    if not (shutil.which("cc") or shutil.which("gcc")):
+        return False
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if not os.path.exists(os.path.join(repo, "setup.py")):
+        return False  # installed wheel without sources: nothing to build
+    try:
+        subprocess.run(
+            [sys.executable, "setup.py", "build_ext", "--inplace"],
+            cwd=repo,
+            check=True,
+            capture_output=quiet,
+        )
+    except (subprocess.CalledProcessError, OSError):
+        return False
+    _fastio = _load()
+    HAVE_NATIVE = _fastio is not None
+    return HAVE_NATIVE
 
 
 def parse_trace_bytes(data: bytes, n_cols: int = 0) -> np.ndarray:
