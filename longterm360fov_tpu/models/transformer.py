@@ -505,6 +505,9 @@ def serve_fused(
     context: Optional[jax.Array] = None,
     other_future_n: Optional[jax.Array] = None,
     other_mask: Optional[jax.Array] = None,
+    group_future_n: Optional[jax.Array] = None,
+    group_mask: Optional[jax.Array] = None,
+    peer_gid: Optional[jax.Array] = None,
     tile_b: int = 128,
     compute_dtype=None,
     fused_encoder: bool = True,
@@ -536,10 +539,21 @@ def serve_fused(
        (373.6 ms vs 203.6 resident at b4096/100f bf16) but ~3x the
        XLA scan and scales past its b4096 OOM wall.
     3. XLA scan fallback: exact reference path for anything else.
+
+    PEER DEDUP (``group_future_n`` (G,K,T,D) + ``group_mask`` (G,K) +
+    ``peer_gid`` (B,), VERDICT r3 weak #2): when co-batched viewers
+    share peer sets (viewers of the same video), pass the G unique
+    sets once. The peer tokens are encoded and the K/V projected per
+    GROUP instead of per row, and the fused kernel's peer attend runs
+    as MXU matmuls over the shared cache (0-shared tier). Batch rows
+    must be sorted so every 128-row tile is group-pure
+    (serving.group_pack). Falls back to gathering per-row copies for
+    the XLA path (bitwise-identical semantics).
     """
     del context
     from ..ops.transformer_decode import (
         fused_ar_decode,
+        peer_shared_fits,
         peer_stream_fits,
         peer_vmem_fits,
     )
@@ -547,6 +561,50 @@ def serve_fused(
     if compute_dtype is None:
         compute_dtype = (
             jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+        )
+    if group_future_n is not None:
+        assert other_future_n is None, "pass per-row OR grouped peers"
+        kt = (
+            group_future_n.shape[2]
+            if cfg.peer_pool == "mean"
+            else group_future_n.shape[1] * group_future_n.shape[2]
+        )
+        n_layers = len(params["dec"])
+        if not peer_shared_fits(
+            cfg, n_layers, kt, tile_b=tile_b, compute_dtype=compute_dtype,
+        ):
+            # expand to per-row copies and take the standard routing
+            return serve_fused(
+                params, cfg, past_n,
+                other_future_n=jnp.take(group_future_n, peer_gid, axis=0),
+                other_mask=(
+                    None if group_mask is None
+                    else jnp.take(group_mask, peer_gid, axis=0)
+                ),
+                tile_b=tile_b, compute_dtype=compute_dtype,
+                fused_encoder=fused_encoder,
+            )
+        # G-row peer-token encode (B→G dedup of the embedding too)
+        peer_gmem, peer_gvalid = _peer_tokens(
+            params, cfg, group_future_n, group_mask
+        )
+        from ..ops.transformer_encode import (
+            encode_kernel_fits as _ekf,
+            fused_encode_tokens as _fet,
+        )
+
+        if fused_encoder and _ekf(past_n.shape[1]):
+            enc_mem = _fet(
+                params, cfg, past_n, tile_b=tile_b,
+                compute_dtype=compute_dtype,
+            )
+        else:
+            enc_mem = _encode(params, cfg, past_n)
+        return fused_ar_decode(
+            params, cfg, enc_mem, past_n[:, -1, :].astype(cfg.dtype),
+            peer_gmem=peer_gmem.astype(jnp.float32),
+            peer_gvalid=peer_gvalid, peer_gid=peer_gid,
+            tile_b=tile_b, compute_dtype=compute_dtype,
         )
     # (bf16-casting the encoder/peer-token params measured NEUTRAL for
     # routed serve time — XLA already handles these f32 dots well — so

@@ -16,7 +16,12 @@ Design:
   instead of one recompute-everything giant: a single fwd+bwd kernel's
   unrolled graph got the Mosaic compile helper OOM-killed (SIGKILL)
   even after checkpointing, while each half here is about the size of
-  the serving kernel that compiles in ~30 s. Stash traffic is
+  the serving kernel that compiles in ~30 s. r4: the head AND layer
+  loops are additionally ROLLED into lax.fori_loop (the r3 split
+  kernels still unrolled 4 heads × L layers and the reverse half kept
+  OOM-killing the helper at preset shapes — VERDICT r3 #2); the
+  compiled body is now one head of one layer regardless of config.
+  Stash traffic is
   7·L·H·T·B f32 (≈229 MB round-trip at b1024/T32/L2 ≈ 0.3 ms of HBM
   time) — noise next to the multi-ms XLA attention backward it
   replaces.
@@ -146,14 +151,24 @@ def _make_math(t_in: int, t_pad: int, tile_b: int, hidden: int):
     ):
         q_chunk //= 2
 
+    # The head loops below are ROLLED (lax.fori_loop), not unrolled
+    # Python loops: the r3 unrolled per-head/per-layer graph at preset
+    # shapes got the relay's Mosaic compile helper OOM-SIGKILLed
+    # (TODO.md r3 runbook item 2 / VERDICT r3 #2). Rolling bounds the
+    # compiled body to ONE head regardless of N_HEADS. (At the gated
+    # T ≤ 64 shapes q_chunk == t_pad, so the chunk loop is a single
+    # static iteration — gridding over T would not shrink anything.)
+    def _split_heads(a):
+        return a.reshape(N_HEADS, head, t_pad, tile_b)
+
     def attend(q, k, v):
         """Forward attend (same math as the serving kernel)."""
-        outs = []
-        for n in range(N_HEADS):
-            sl = slice(n * head, (n + 1) * head)
-            qh = q[sl] * scale_a
-            kh = k[sl]
-            vh = v[sl]
+        q4, k4, v4 = _split_heads(q), _split_heads(k), _split_heads(v)
+
+        def head_body(n, out4):
+            qh = lax.dynamic_index_in_dim(q4, n, 0, False) * scale_a
+            kh = lax.dynamic_index_in_dim(k4, n, 0, False)
+            vh = lax.dynamic_index_in_dim(v4, n, 0, False)
             chunks = []
             for q0 in range(0, t_pad, q_chunk):
                 qc = qh[:, q0 : q0 + q_chunk]
@@ -165,22 +180,30 @@ def _make_math(t_in: int, t_pad: int, tile_b: int, hidden: int):
                 w = jnp.exp(logits - m)
                 w = w / jnp.sum(w, axis=1, keepdims=True)
                 chunks.append(jnp.sum(w[None] * vh[:, None, :, :], axis=2))
-            outs.append(
+            oh = (
                 chunks[0] if len(chunks) == 1
                 else jnp.concatenate(chunks, axis=1)
             )
-        return jnp.concatenate(outs, axis=0)
+            return lax.dynamic_update_index_in_dim(out4, oh, n, 0)
+
+        out4 = lax.fori_loop(
+            0, N_HEADS, head_body,
+            jnp.zeros((N_HEADS, head, t_pad, tile_b), jnp.float32),
+        )
+        return out4.reshape(hidden, t_pad, tile_b)
 
     def attend_bwd(q, k, v, g_att):
-        """Reverse of attend: recompute softmax per head/chunk, return
-        (g_q, g_k, g_v) each (H, T_pad, B)."""
-        gqs, gks, gvs = [], [], []
-        for n in range(N_HEADS):
-            sl = slice(n * head, (n + 1) * head)
-            qh = q[sl] * scale_a
-            kh = k[sl]
-            vh = v[sl]
-            g_ah = g_att[sl]
+        """Reverse of attend: recompute softmax per head (rolled),
+        return (g_q, g_k, g_v) each (H, T_pad, B)."""
+        q4, k4, v4 = _split_heads(q), _split_heads(k), _split_heads(v)
+        g4 = _split_heads(g_att)
+
+        def head_body(n, carry):
+            gq4, gk4, gv4 = carry
+            qh = lax.dynamic_index_in_dim(q4, n, 0, False) * scale_a
+            kh = lax.dynamic_index_in_dim(k4, n, 0, False)
+            vh = lax.dynamic_index_in_dim(v4, n, 0, False)
+            g_ah = lax.dynamic_index_in_dim(g4, n, 0, False)
             g_kh = jnp.zeros((head, t_pad, tile_b), jnp.float32)
             g_vh = jnp.zeros((head, t_pad, tile_b), jnp.float32)
             gq_chunks = []
@@ -209,16 +232,22 @@ def _make_math(t_in: int, t_pad: int, tile_b: int, hidden: int):
                 g_kh = g_kh + jnp.sum(
                     gl[None] * qc[:, :, None, :], axis=1
                 )
-            gqs.append(
+            g_qh = (
                 gq_chunks[0] if len(gq_chunks) == 1
                 else jnp.concatenate(gq_chunks, axis=1)
             )
-            gks.append(g_kh)
-            gvs.append(g_vh)
+            return (
+                lax.dynamic_update_index_in_dim(gq4, g_qh, n, 0),
+                lax.dynamic_update_index_in_dim(gk4, g_kh, n, 0),
+                lax.dynamic_update_index_in_dim(gv4, g_vh, n, 0),
+            )
+
+        z4 = jnp.zeros((N_HEADS, head, t_pad, tile_b), jnp.float32)
+        gq4, gk4, gv4 = lax.fori_loop(0, N_HEADS, head_body, (z4, z4, z4))
         return (
-            jnp.concatenate(gqs, axis=0),
-            jnp.concatenate(gks, axis=0),
-            jnp.concatenate(gvs, axis=0),
+            gq4.reshape(hidden, t_pad, tile_b),
+            gk4.reshape(hidden, t_pad, tile_b),
+            gv4.reshape(hidden, t_pad, tile_b),
         )
 
     return SimpleNamespace(
@@ -239,19 +268,30 @@ def _fwd_stash_kernel(
 
     xin = x_ref[:].astype(jnp.float32)
     x = M.mm(w_in[:], xin) + pos_ref[:][:, :, None]
-    for l in range(n_layers):
+    # layer loop ROLLED (see _make_math note): one compiled body for
+    # any n_layers; weights are dynamic-indexed values, the stash is a
+    # dynamic-offset ref store.
+    attn_v, w1_v, b1_v = attn_w[:], mlp_w1[:], mlp_b1[:]
+    w2_v, b2_v, ln_v = mlp_w2[:], mlp_b2[:], ln_w[:]
+    dyn = lambda a, i: lax.dynamic_index_in_dim(a, i, 0, False)  # noqa: E731
+
+    def layer_body(l, x):
+        aw, lnl = dyn(attn_v, l), dyn(ln_v, l)
         x0 = x
-        h_in = M.ln_f(x0, ln_w[l, 0, 0], ln_w[l, 0, 1])
-        q = M.mm(attn_w[l, 0], h_in)
-        k = M.mm(attn_w[l, 1], h_in)
-        v = M.mm(attn_w[l, 2], h_in)
+        h_in = M.ln_f(x0, lnl[0, 0], lnl[0, 1])
+        q = M.mm(aw[0], h_in)
+        k = M.mm(aw[1], h_in)
+        v = M.mm(aw[2], h_in)
         att = M.attend(q, k, v)
-        x1 = x0 + M.mm(attn_w[l, 3], att)
-        m_in = M.ln_f(x1, ln_w[l, 1, 0], ln_w[l, 1, 1])
-        g1 = _gelu_tanh(M.mm(mlp_w1[l], m_in) + mlp_b1[l][:, :, None])
-        x = x1 + M.mm(mlp_w2[l], g1) + mlp_b2[l][:, :, None]
+        x1 = x0 + M.mm(aw[3], att)
+        m_in = M.ln_f(x1, lnl[1, 0], lnl[1, 1])
+        g1 = _gelu_tanh(M.mm(dyn(w1_v, l), m_in) + dyn(b1_v, l)[:, :, None])
+        x = x1 + M.mm(dyn(w2_v, l), g1) + dyn(b2_v, l)[:, :, None]
         for si, arr in enumerate((x0, x1, h_in, q, k, v, att)):
-            save_ref[l, si] = arr
+            save_ref[pl.ds(l, 1), si] = arr[None]
+        return x
+
+    x = lax.fori_loop(0, n_layers, layer_body, x)
     enc_ref[:] = x
 
 
@@ -272,45 +312,52 @@ def _reverse_kernel(
         for r in (d_w_in, d_attn, d_w1, d_b1, d_w2, d_b2, d_ln):
             r[:] = jnp.zeros_like(r)
 
-    g = g_ref[:].astype(jnp.float32)
-    for l in reversed(range(n_layers)):
-        x0 = save_ref[l, 0]
-        x1 = save_ref[l, 1]
-        h_in = save_ref[l, 2]
-        q = save_ref[l, 3]
-        k = save_ref[l, 4]
-        v = save_ref[l, 5]
-        att = save_ref[l, 6]
+    # layer loop ROLLED, running l = n_layers-1 … 0: one compiled body
+    # for any n_layers (see _make_math note); weight-grad accumulators
+    # use dynamic-offset read-modify-write on the (sequential) grid.
+    attn_v, w1_v, b1_v = attn_w[:], mlp_w1[:], mlp_b1[:]
+    w2_v, ln_v = mlp_w2[:], ln_w[:]
+    dyn = lambda a, i: lax.dynamic_index_in_dim(a, i, 0, False)  # noqa: E731
+
+    def layer_body(j, g):
+        l = n_layers - 1 - j
+        sv = save_ref[pl.ds(l, 1)][0]  # (7, H, T_pad, B)
+        x0, x1, h_in = sv[0], sv[1], sv[2]
+        q, k, v, att = sv[3], sv[4], sv[5], sv[6]
+        aw, lnl = dyn(attn_v, l), dyn(ln_v, l)
+        w1, b1, w2 = dyn(w1_v, l), dyn(b1_v, l), dyn(w2_v, l)
         # MLP sublayer (recompute cheap internals from x1)
-        m_in = M.ln_f(x1, ln_w[l, 1, 0], ln_w[l, 1, 1])
-        pre = M.mm(mlp_w1[l], m_in) + mlp_b1[l][:, :, None]
+        m_in = M.ln_f(x1, lnl[1, 0], lnl[1, 1])
+        pre = M.mm(w1, m_in) + b1[:, :, None]
         g1 = _gelu_tanh(pre)
-        d_w2[l] += M.outer(g, g1)
-        d_b2[l] += M.rsum(g)
-        g_pre = M.mm_t(mlp_w2[l], g) * _dgelu_tanh(pre)
-        d_w1[l] += M.outer(g_pre, m_in)
-        d_b1[l] += M.rsum(g_pre)
-        g_m_in = M.mm_t(mlp_w1[l], g_pre)
-        g_x1_ln, ds, db = M.ln_bwd(x1, ln_w[l, 1, 0], g_m_in)
-        d_ln[l, 1, 0] += ds
-        d_ln[l, 1, 1] += db
+        d_w2[pl.ds(l, 1)] += M.outer(g, g1)[None]
+        d_b2[pl.ds(l, 1)] += M.rsum(g)[None]
+        g_pre = M.mm_t(w2, g) * _dgelu_tanh(pre)
+        d_w1[pl.ds(l, 1)] += M.outer(g_pre, m_in)[None]
+        d_b1[pl.ds(l, 1)] += M.rsum(g_pre)[None]
+        g_m_in = M.mm_t(w1, g_pre)
+        g_x1_ln, dsc, dbi = M.ln_bwd(x1, lnl[1, 0], g_m_in)
+        d_ln[pl.ds(l, 1), 1, 0] += dsc[None]
+        d_ln[pl.ds(l, 1), 1, 1] += dbi[None]
         g_x1 = g + g_x1_ln
         # attention sublayer (stashed intermediates)
-        d_attn[l, 3] += M.outer(g_x1, att)
-        g_att = M.mm_t(attn_w[l, 3], g_x1)
+        d_attn[pl.ds(l, 1), 3] += M.outer(g_x1, att)[None]
+        g_att = M.mm_t(aw[3], g_x1)
         g_q, g_k, g_v = M.attend_bwd(q, k, v, g_att)
-        d_attn[l, 0] += M.outer(g_q, h_in)
-        d_attn[l, 1] += M.outer(g_k, h_in)
-        d_attn[l, 2] += M.outer(g_v, h_in)
+        d_attn[pl.ds(l, 1), 0] += M.outer(g_q, h_in)[None]
+        d_attn[pl.ds(l, 1), 1] += M.outer(g_k, h_in)[None]
+        d_attn[pl.ds(l, 1), 2] += M.outer(g_v, h_in)[None]
         g_h_in = (
-            M.mm_t(attn_w[l, 0], g_q)
-            + M.mm_t(attn_w[l, 1], g_k)
-            + M.mm_t(attn_w[l, 2], g_v)
+            M.mm_t(aw[0], g_q) + M.mm_t(aw[1], g_k) + M.mm_t(aw[2], g_v)
         )
-        g_x0_ln, ds, db = M.ln_bwd(x0, ln_w[l, 0, 0], g_h_in)
-        d_ln[l, 0, 0] += ds
-        d_ln[l, 0, 1] += db
-        g = g_x1 + g_x0_ln
+        g_x0_ln, dsc, dbi = M.ln_bwd(x0, lnl[0, 0], g_h_in)
+        d_ln[pl.ds(l, 1), 0, 0] += dsc[None]
+        d_ln[pl.ds(l, 1), 0, 1] += dbi[None]
+        return g_x1 + g_x0_ln
+
+    g = lax.fori_loop(
+        0, n_layers, layer_body, g_ref[:].astype(jnp.float32)
+    )
     xin = x_ref[:].astype(jnp.float32)
     d_w_in[...] += M.outer(g, xin)
     # true input cotangent (d = W_inT g): callers differentiating

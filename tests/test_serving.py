@@ -948,3 +948,59 @@ def test_cli_parser_accepts_serve_daemon():
     assert args.cmd == "serve-daemon"
     assert args.max_batch == 32
     assert json.dumps(vars(args))  # serializable namespace
+
+
+# ------------------------------------------------------------- r4:
+# peer-group packing for the shared-peer decode tier (peer dedup)
+
+def test_group_pack_structure():
+    keys = ["b", "a", "b", "c", "a", "a"]
+    perm, gid, inv, uniq = serving.group_pack(keys, tile_b=2)
+    assert uniq == ["b", "a", "c"]
+    # every tile is group-pure
+    assert len(perm) == len(gid) and len(perm) % 2 == 0
+    for t0 in range(0, len(gid), 2):
+        assert len(set(gid[t0 : t0 + 2].tolist())) == 1
+    # inv recovers the original rows
+    karr = np.asarray(keys)
+    assert np.array_equal(karr[perm][inv], karr)
+    # gid matches the row's own group key
+    for pos, row in enumerate(perm):
+        assert uniq[gid[pos]] == keys[row]
+    # padding duplicates a real row of the same group
+    assert np.array_equal(karr[perm], np.asarray(uniq)[gid])
+
+
+def test_group_pack_end_to_end_grouped_serve():
+    """pack → grouped serve_fused → unpack == per-row serve_fused on the
+    original (unsorted) batch."""
+    from longterm360fov_tpu.models import transformer as TR
+
+    cfg = Seq2SeqConfig(d=3, hidden=128, layers=1, h_in=5, h_out=6)
+    params = TR.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    b, g, k = 6, 2, 3
+    past = rng.normal(size=(b, 5, 3)).astype(np.float32) * 0.1
+    gfut = rng.normal(size=(g, k, 6, 3)).astype(np.float32) * 0.1
+    gmask = np.ones((g, k), np.float32)
+    keys = ["v1", "v0", "v0", "v1", "v0", "v1"]
+    key_to_g = {"v0": 0, "v1": 1}
+
+    perm, gid, inv, uniq = serving.group_pack(keys, tile_b=128)
+    # remap gid to the caller's group-array indexing
+    gid_sets = np.asarray([key_to_g[u] for u in uniq], np.int32)[gid]
+    out_packed = TR.serve_fused(
+        params, cfg, jnp.asarray(past[perm]),
+        group_future_n=jnp.asarray(gfut), group_mask=jnp.asarray(gmask),
+        peer_gid=jnp.asarray(gid_sets), compute_dtype=jnp.float32,
+    )
+    out = np.asarray(out_packed)[inv]
+
+    row_g = np.asarray([key_to_g[x] for x in keys])
+    ref = TR.serve_fused(
+        params, cfg, jnp.asarray(past),
+        other_future_n=jnp.asarray(gfut[row_g]),
+        other_mask=jnp.asarray(gmask[row_g]),
+        compute_dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(out, np.asarray(ref), atol=3e-5)
