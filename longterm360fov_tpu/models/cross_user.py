@@ -35,6 +35,7 @@ __all__ = [
     "serve_fused",
     "batch_extras",
     "encode_peers",
+    "encode_peers_aligned",
 ]
 
 
@@ -100,6 +101,38 @@ def encode_peers(
     return jnp.sum(h * m, axis=1) / denom
 
 
+def encode_peers_aligned(
+    params: Dict,
+    cfg: Seq2SeqConfig,
+    other_future_n: jax.Array,  # (B, K, T, D)
+    other_mask: Optional[jax.Array],  # (B, K)
+) -> jax.Array:
+    """→ (B, T, ctx_dim) TIME-ALIGNED peer context (cfg.peer_align, r4):
+    decoder step t gets the masked mean of the peer encoder's hidden
+    state AT step t — peers at the same playback moment carry the
+    aligned long-horizon signal (the LSTM analog of the transformer's
+    windowed peer attention, RESULTS.md r3)."""
+    b, k, t, d = other_future_n.shape
+    flat = other_future_n.reshape(b * k, t, d).astype(cfg.dtype)
+    cell_fn = get_cell_fn(cfg.cell)
+    xs = jnp.swapaxes(flat, 0, 1)  # (T, B*K, D)
+    z = jnp.zeros((b * k, cfg.ctx_dim), cfg.dtype)
+
+    def step(state, x):
+        st = cell_fn(params["peer_encoder"], x, state)
+        return st, st[0]
+
+    _, hs = lax.scan(step, (z, z), xs)  # (T, B*K, ctx)
+    hs = hs.reshape(t, b, k, cfg.ctx_dim)
+    if other_mask is None:
+        ctx = jnp.mean(hs, axis=2)
+    else:
+        m = other_mask.astype(hs.dtype)[None, :, :, None]  # (1,B,K,1)
+        denom = jnp.maximum(jnp.sum(m, axis=2), 1.0)
+        ctx = jnp.sum(hs * m, axis=2) / denom
+    return jnp.swapaxes(ctx, 0, 1)  # (B, T, ctx)
+
+
 def apply(
     params: Dict,
     cfg: Seq2SeqConfig,
@@ -115,7 +148,11 @@ def apply(
     """Forward pass; peers → context → seq2seq. With no peers (or all
     masked) the context is zeros — identical to plain seq2seq."""
     if context is None:
-        if other_future_n is not None:
+        if other_future_n is not None and cfg.peer_align:
+            context = encode_peers_aligned(
+                params, cfg, other_future_n, other_mask
+            )
+        elif other_future_n is not None:
             context = encode_peers(params, cfg, other_future_n, other_mask)
         else:
             context = jnp.zeros((past_n.shape[0], cfg.ctx_dim), cfg.dtype)
@@ -144,6 +181,14 @@ def apply_fused_tf(
 ) -> jax.Array:
     """Teacher-forced forward entirely on the fused Pallas primitives
     (peer encoder included)."""
+    if cfg.peer_align:
+        # per-step context: the fused decoder takes a static context
+        # vector, so the aligned variant trains on the XLA scan path
+        return apply(
+            params, cfg, past_n, future_n,
+            other_future_n=other_future_n, other_mask=other_mask,
+            context=context,
+        )
     kw = {} if compute_dtype is None else {"compute_dtype": compute_dtype}
     if context is None:
         if other_future_n is not None:
@@ -173,6 +218,13 @@ def apply_fused_ss(
 ) -> jax.Array:
     """Scheduled-sampling training forward on the fused Pallas decoder
     (peer encoder included)."""
+    if cfg.peer_align:
+        return apply(
+            params, cfg, past_n, future_n, rng=rng,
+            teacher_prob=teacher_prob,
+            other_future_n=other_future_n, other_mask=other_mask,
+            context=context,
+        )
     kw = {} if compute_dtype is None else {"compute_dtype": compute_dtype}
     if context is None:
         if other_future_n is not None:
@@ -208,6 +260,12 @@ def serve_fused(
     ``compute_dtype`` threads through BOTH the peer-encode and the serve
     kernel, matching seq2seq.serve_fused's bf16 serving tier (ADVICE r2:
     the cross_user family previously always upcast peers to f32)."""
+    if cfg.peer_align and other_future_n is not None and context is None:
+        # per-step context → XLA AR decode (quality-first option)
+        return apply(
+            params, cfg, past_n,
+            other_future_n=other_future_n, other_mask=other_mask,
+        )
     if context is None:
         if other_future_n is not None:
             context = encode_peers(

@@ -76,6 +76,14 @@ class Seq2SeqConfig:
     # (peers at the same playback moment carry the aligned signal).
     # Applied consistently in training AND the fused serve kernel.
     peer_window: int = 0
+    # cross_user family only — TIME-ALIGNED peer context (the LSTM
+    # analog of the transformer's peer_window, r4): instead of one
+    # static context vector (the masked mean of peer-encoder FINAL
+    # states), decoder step t receives the masked mean of the peer
+    # encoder's hidden state AT step t. Same parameter shapes (the
+    # context width is still ctx_dim); routes training/serving to the
+    # XLA path (the fused kernels take a static context).
+    peer_align: bool = False
 
     @property
     def dtype(self):
@@ -168,18 +176,33 @@ def apply(
       * ``future_n`` None → pure autoregressive decode (inference).
 
     ``context``: optional (B, ctx_dim) vector appended to every decoder
-    input (cross-user / video-aware fusion hook).
+    input (cross-user / video-aware fusion hook) — or (B, H_out,
+    ctx_dim) for PER-STEP context (time-aligned peer state,
+    cross_user peer_align; r4): step t gets context[:, t].
     """
     cell_fn = get_cell_fn(cfg.cell)
     batch = past_n.shape[0]
     states0 = _encode(params, cfg, past_n)
     y0 = past_n[:, -1, :].astype(cfg.dtype)  # last observed position
 
+    ctx_seq = None
     if context is not None:
         context = context.astype(cfg.dtype)
+        if context.ndim == 3:  # (B, H_out, ctx) → time-major scan input
+            ctx_seq = jnp.swapaxes(context, 0, 1)
+            context = None
+    # the per-step slice is threaded through every scan as an xs input;
+    # a zero-width dummy keeps one code path when context is static
+    if ctx_seq is None:
+        ctx_seq = jnp.zeros((cfg.h_out, batch, 0), cfg.dtype)
 
-    def cat_ctx(x):
-        return x if context is None else jnp.concatenate([x, context], -1)
+    def cat_ctx(x, c_t):
+        parts = [x]
+        if context is not None:
+            parts.append(context)
+        if c_t.shape[-1]:
+            parts.append(c_t)
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, -1)
 
     def run_layers(states, x):
         new_states = []
@@ -192,15 +215,13 @@ def apply(
 
     if future_n is None:
         # autoregressive: feed own output back
-        def dec_step(carry, _):
+        def dec_step(carry, c_t):
             states, y_prev = carry
-            states, h = run_layers(states, cat_ctx(y_prev))
+            states, h = run_layers(states, cat_ctx(y_prev, c_t))
             y = _project(params, h).astype(cfg.dtype)
             return (states, y), y
 
-        _, ys = lax.scan(
-            dec_step, (states0, y0), None, length=cfg.h_out
-        )
+        _, ys = lax.scan(dec_step, (states0, y0), ctx_seq)
     else:
         fut = jnp.swapaxes(future_n.astype(cfg.dtype), 0, 1)  # (H_out, B, D)
         # teacher input at step t is the TRUE position at t-1
@@ -208,37 +229,42 @@ def apply(
         if coins is not None:
             def dec_step(carry, xs_t):
                 states, y_prev = carry
-                teacher_x, coin_t = xs_t
+                teacher_x, coin_t, c_t = xs_t
                 x = jnp.where(coin_t > 0, teacher_x, y_prev)
-                states, h = run_layers(states, cat_ctx(x))
+                states, h = run_layers(states, cat_ctx(x, c_t))
                 y = _project(params, h).astype(cfg.dtype)
                 return (states, y), y
 
-            _, ys = lax.scan(dec_step, (states0, y0), (teacher_in, coins))
+            _, ys = lax.scan(
+                dec_step, (states0, y0), (teacher_in, coins, ctx_seq)
+            )
         elif rng is None:
             # pure teacher forcing — no feedback path, fully parallel
             # over steps as far as XLA can see past the recurrence
-            def dec_step(carry, x_t):
+            def dec_step(carry, xs_t):
                 states, _ = carry
-                states, h = run_layers(states, cat_ctx(x_t))
+                x_t, c_t = xs_t
+                states, h = run_layers(states, cat_ctx(x_t, c_t))
                 y = _project(params, h).astype(cfg.dtype)
                 return (states, y), y
 
-            _, ys = lax.scan(dec_step, (states0, y0), teacher_in)
+            _, ys = lax.scan(dec_step, (states0, y0), (teacher_in, ctx_seq))
         else:
             keys = jax.random.split(rng, cfg.h_out)
             p = jnp.asarray(teacher_prob, jnp.float32)
 
             def dec_step(carry, xs_t):
                 states, y_prev = carry
-                teacher_x, key_t = xs_t
+                teacher_x, key_t, c_t = xs_t
                 coin = jax.random.bernoulli(key_t, p, (batch, 1))
                 x = jnp.where(coin, teacher_x, y_prev)
-                states, h = run_layers(states, cat_ctx(x))
+                states, h = run_layers(states, cat_ctx(x, c_t))
                 y = _project(params, h).astype(cfg.dtype)
                 return (states, y), y
 
-            _, ys = lax.scan(dec_step, (states0, y0), (teacher_in, keys))
+            _, ys = lax.scan(
+                dec_step, (states0, y0), (teacher_in, keys, ctx_seq)
+            )
 
     return jnp.swapaxes(ys, 0, 1).astype(jnp.float32)  # (B, H_out, D)
 

@@ -16,11 +16,13 @@ Design:
   instead of one recompute-everything giant: a single fwd+bwd kernel's
   unrolled graph got the Mosaic compile helper OOM-killed (SIGKILL)
   even after checkpointing, while each half here is about the size of
-  the serving kernel that compiles in ~30 s. r4: the head AND layer
-  loops are additionally ROLLED into lax.fori_loop (the r3 split
-  kernels still unrolled 4 heads × L layers and the reverse half kept
-  OOM-killing the helper at preset shapes — VERDICT r3 #2); the
-  compiled body is now one head of one layer regardless of config.
+  the serving kernel that compiles in ~30 s. r4: the LAYER loop is
+  additionally ROLLED into lax.fori_loop with ref-based (pl.ds)
+  dynamic weight/stash indexing (the r3 split kernels unrolled 4
+  heads × L layers and the reverse half kept OOM-killing the helper
+  at preset shapes — VERDICT r3 #2); the compiled body is now one
+  layer regardless of depth. The HEAD loop stays unrolled: value-level
+  dynamic_slice is unimplemented in Mosaic's TPU lowering (smoke r4).
   Stash traffic is
   7·L·H·T·B f32 (≈229 MB round-trip at b1024/T32/L2 ≈ 0.3 ms of HBM
   time) — noise next to the multi-ms XLA attention backward it
@@ -151,24 +153,21 @@ def _make_math(t_in: int, t_pad: int, tile_b: int, hidden: int):
     ):
         q_chunk //= 2
 
-    # The head loops below are ROLLED (lax.fori_loop), not unrolled
-    # Python loops: the r3 unrolled per-head/per-layer graph at preset
-    # shapes got the relay's Mosaic compile helper OOM-SIGKILLed
-    # (TODO.md r3 runbook item 2 / VERDICT r3 #2). Rolling bounds the
-    # compiled body to ONE head regardless of N_HEADS. (At the gated
-    # T ≤ 64 shapes q_chunk == t_pad, so the chunk loop is a single
-    # static iteration — gridding over T would not shrink anything.)
-    def _split_heads(a):
-        return a.reshape(N_HEADS, head, t_pad, tile_b)
-
+    # r4 note: the head loops stay UNROLLED (static value slices).
+    # A lax.fori_loop-rolled variant needed dynamic_slice on VALUES,
+    # which Mosaic's TPU lowering does not implement ("Unimplemented
+    # primitive ... dynamic_slice", smoke r4) — only REF indexing via
+    # pl.ds is dynamic-legal. The compile-memory reduction comes from
+    # rolling the LAYER loop in the kernels below (ref-based reads),
+    # which bounds the compiled graph to ONE layer regardless of depth.
     def attend(q, k, v):
         """Forward attend (same math as the serving kernel)."""
-        q4, k4, v4 = _split_heads(q), _split_heads(k), _split_heads(v)
-
-        def head_body(n, out4):
-            qh = lax.dynamic_index_in_dim(q4, n, 0, False) * scale_a
-            kh = lax.dynamic_index_in_dim(k4, n, 0, False)
-            vh = lax.dynamic_index_in_dim(v4, n, 0, False)
+        outs = []
+        for n in range(N_HEADS):
+            sl = slice(n * head, (n + 1) * head)
+            qh = q[sl] * scale_a
+            kh = k[sl]
+            vh = v[sl]
             chunks = []
             for q0 in range(0, t_pad, q_chunk):
                 qc = qh[:, q0 : q0 + q_chunk]
@@ -180,30 +179,22 @@ def _make_math(t_in: int, t_pad: int, tile_b: int, hidden: int):
                 w = jnp.exp(logits - m)
                 w = w / jnp.sum(w, axis=1, keepdims=True)
                 chunks.append(jnp.sum(w[None] * vh[:, None, :, :], axis=2))
-            oh = (
+            outs.append(
                 chunks[0] if len(chunks) == 1
                 else jnp.concatenate(chunks, axis=1)
             )
-            return lax.dynamic_update_index_in_dim(out4, oh, n, 0)
-
-        out4 = lax.fori_loop(
-            0, N_HEADS, head_body,
-            jnp.zeros((N_HEADS, head, t_pad, tile_b), jnp.float32),
-        )
-        return out4.reshape(hidden, t_pad, tile_b)
+        return jnp.concatenate(outs, axis=0)
 
     def attend_bwd(q, k, v, g_att):
-        """Reverse of attend: recompute softmax per head (rolled),
-        return (g_q, g_k, g_v) each (H, T_pad, B)."""
-        q4, k4, v4 = _split_heads(q), _split_heads(k), _split_heads(v)
-        g4 = _split_heads(g_att)
-
-        def head_body(n, carry):
-            gq4, gk4, gv4 = carry
-            qh = lax.dynamic_index_in_dim(q4, n, 0, False) * scale_a
-            kh = lax.dynamic_index_in_dim(k4, n, 0, False)
-            vh = lax.dynamic_index_in_dim(v4, n, 0, False)
-            g_ah = lax.dynamic_index_in_dim(g4, n, 0, False)
+        """Reverse of attend: recompute softmax per head/chunk, return
+        (g_q, g_k, g_v) each (H, T_pad, B)."""
+        gqs, gks, gvs = [], [], []
+        for n in range(N_HEADS):
+            sl = slice(n * head, (n + 1) * head)
+            qh = q[sl] * scale_a
+            kh = k[sl]
+            vh = v[sl]
+            g_ah = g_att[sl]
             g_kh = jnp.zeros((head, t_pad, tile_b), jnp.float32)
             g_vh = jnp.zeros((head, t_pad, tile_b), jnp.float32)
             gq_chunks = []
@@ -232,23 +223,22 @@ def _make_math(t_in: int, t_pad: int, tile_b: int, hidden: int):
                 g_kh = g_kh + jnp.sum(
                     gl[None] * qc[:, :, None, :], axis=1
                 )
-            g_qh = (
+            gqs.append(
                 gq_chunks[0] if len(gq_chunks) == 1
                 else jnp.concatenate(gq_chunks, axis=1)
             )
-            return (
-                lax.dynamic_update_index_in_dim(gq4, g_qh, n, 0),
-                lax.dynamic_update_index_in_dim(gk4, g_kh, n, 0),
-                lax.dynamic_update_index_in_dim(gv4, g_vh, n, 0),
-            )
-
-        z4 = jnp.zeros((N_HEADS, head, t_pad, tile_b), jnp.float32)
-        gq4, gk4, gv4 = lax.fori_loop(0, N_HEADS, head_body, (z4, z4, z4))
+            gks.append(g_kh)
+            gvs.append(g_vh)
         return (
-            gq4.reshape(hidden, t_pad, tile_b),
-            gk4.reshape(hidden, t_pad, tile_b),
-            gv4.reshape(hidden, t_pad, tile_b),
+            jnp.concatenate(gqs, axis=0),
+            jnp.concatenate(gks, axis=0),
+            jnp.concatenate(gvs, axis=0),
         )
+
+    return SimpleNamespace(
+        mm=mm, mm_t=mm_t, outer=outer, rsum=rsum, ln_f=ln_f,
+        ln_bwd=ln_bwd, attend=attend, attend_bwd=attend_bwd,
+    )
 
     return SimpleNamespace(
         mm=mm, mm_t=mm_t, outer=outer, rsum=rsum, ln_f=ln_f,
@@ -271,12 +261,10 @@ def _fwd_stash_kernel(
     # layer loop ROLLED (see _make_math note): one compiled body for
     # any n_layers; weights are dynamic-indexed values, the stash is a
     # dynamic-offset ref store.
-    attn_v, w1_v, b1_v = attn_w[:], mlp_w1[:], mlp_b1[:]
-    w2_v, b2_v, ln_v = mlp_w2[:], mlp_b2[:], ln_w[:]
-    dyn = lambda a, i: lax.dynamic_index_in_dim(a, i, 0, False)  # noqa: E731
-
     def layer_body(l, x):
-        aw, lnl = dyn(attn_v, l), dyn(ln_v, l)
+        # ref reads with pl.ds are the Mosaic-legal dynamic indexing
+        aw = attn_w[pl.ds(l, 1)][0]
+        lnl = ln_w[pl.ds(l, 1)][0]
         x0 = x
         h_in = M.ln_f(x0, lnl[0, 0], lnl[0, 1])
         q = M.mm(aw[0], h_in)
@@ -285,8 +273,14 @@ def _fwd_stash_kernel(
         att = M.attend(q, k, v)
         x1 = x0 + M.mm(aw[3], att)
         m_in = M.ln_f(x1, lnl[1, 0], lnl[1, 1])
-        g1 = _gelu_tanh(M.mm(dyn(w1_v, l), m_in) + dyn(b1_v, l)[:, :, None])
-        x = x1 + M.mm(dyn(w2_v, l), g1) + dyn(b2_v, l)[:, :, None]
+        g1 = _gelu_tanh(
+            M.mm(mlp_w1[pl.ds(l, 1)][0], m_in)
+            + mlp_b1[pl.ds(l, 1)][0][:, :, None]
+        )
+        x = (
+            x1 + M.mm(mlp_w2[pl.ds(l, 1)][0], g1)
+            + mlp_b2[pl.ds(l, 1)][0][:, :, None]
+        )
         for si, arr in enumerate((x0, x1, h_in, q, k, v, att)):
             save_ref[pl.ds(l, 1), si] = arr[None]
         return x
@@ -315,17 +309,16 @@ def _reverse_kernel(
     # layer loop ROLLED, running l = n_layers-1 … 0: one compiled body
     # for any n_layers (see _make_math note); weight-grad accumulators
     # use dynamic-offset read-modify-write on the (sequential) grid.
-    attn_v, w1_v, b1_v = attn_w[:], mlp_w1[:], mlp_b1[:]
-    w2_v, ln_v = mlp_w2[:], ln_w[:]
-    dyn = lambda a, i: lax.dynamic_index_in_dim(a, i, 0, False)  # noqa: E731
-
     def layer_body(j, g):
         l = n_layers - 1 - j
         sv = save_ref[pl.ds(l, 1)][0]  # (7, H, T_pad, B)
         x0, x1, h_in = sv[0], sv[1], sv[2]
         q, k, v, att = sv[3], sv[4], sv[5], sv[6]
-        aw, lnl = dyn(attn_v, l), dyn(ln_v, l)
-        w1, b1, w2 = dyn(w1_v, l), dyn(b1_v, l), dyn(w2_v, l)
+        aw = attn_w[pl.ds(l, 1)][0]
+        lnl = ln_w[pl.ds(l, 1)][0]
+        w1 = mlp_w1[pl.ds(l, 1)][0]
+        b1 = mlp_b1[pl.ds(l, 1)][0]
+        w2 = mlp_w2[pl.ds(l, 1)][0]
         # MLP sublayer (recompute cheap internals from x1)
         m_in = M.ln_f(x1, lnl[1, 0], lnl[1, 1])
         pre = M.mm(w1, m_in) + b1[:, :, None]

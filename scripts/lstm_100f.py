@@ -51,12 +51,17 @@ def main():
         n_users=8, n_videos=2, n_frames=1500, rate_hz=10.0, seed=0
     )
 
-    # variant name -> (preset, h_in, with_peers)
+    # variant name -> (preset, h_in, with_peers[, extra cfg overrides])
     variants = [
         ("seq2seq-tf-100", "seq2seq-tf-30", 100, False),
         ("seq2seq-tf-100-hin30", "seq2seq-tf-30", 30, False),
         ("stacked-ss-crossuser-100", "stacked-ss-crossuser", 100, True),
         ("stacked-ss-crossuser-100-hin30", "stacked-ss-crossuser", 30, True),
+        # r4 task 8: TIME-ALIGNED peer context (models/cross_user
+        # encode_peers_aligned — the LSTM analog of the transformer's
+        # windowed peer attention, which won at this horizon in r3)
+        ("stacked-ss-crossuser-100-align", "stacked-ss-crossuser", 100,
+         True, {"model_peer_align": True}),
     ]
     only = set(args.only.split(",")) if args.only else None
     seeds = [int(s) for s in args.seeds.split(",")]
@@ -76,7 +81,8 @@ def main():
 
     log_fh = open(args.log, "a")
     summary = []
-    for name, preset, h_in, with_peers in variants:
+    for name, preset, h_in, with_peers, *rest in variants:
+        over = rest[0] if rest else {}
         if only and name not in only:
             continue
         per_seed = []
@@ -84,6 +90,7 @@ def main():
             cfg = get_preset(
                 preset, model_h_in=h_in, model_h_out=100,
                 steps=args.steps, eval_every=args.steps, seed=seed,
+                **over,
             )
             fam = get_family(cfg.model_family)
             trd, ted = get_windows(h_in, with_peers)

@@ -193,6 +193,41 @@ def main():
         ref=pref, atol=5e-5,
     )
 
+    # GROUP-shared peer tier (r4 peer dedup): 256 rows = 2 group-pure
+    # 128-tiles; plain + windowed variants vs the XLA per-row expansion
+    import dataclasses as _dc
+
+    past256s = jnp.asarray(
+        rng.normal(size=(256, tcfg.h_in, 3)).astype(np.float32) * 0.1
+    )
+    gfut = jnp.asarray(
+        rng.normal(size=(2, 3, tcfg.h_out, 3)).astype(np.float32) * 0.1
+    )
+    gmask2 = np.ones((2, 3), np.float32)
+    gmask2[1, 2] = 0.0  # one absent peer in group 1
+    gmask2 = jnp.asarray(gmask2)
+    gid = jnp.asarray(np.repeat(np.arange(2, dtype=np.int32), 128))
+    for wname, wcfg in [
+        ("", tcfg), (" windowed", _dc.replace(tcfg, peer_window=2)),
+    ]:
+        with jax.default_matmul_precision("highest"):
+            gref = jax.block_until_ready(TR.apply(
+                tparams, wcfg, past256s,
+                other_future_n=jnp.take(gfut, gid, axis=0),
+                other_mask=jnp.take(gmask2, gid, axis=0),
+            ))
+            genc = TR._encode(tparams, wcfg, past256s)
+            gmem, gvalid = TR._peer_tokens(tparams, wcfg, gfut, gmask2)
+        check(
+            f"transformer_decode shared-peer{wname} tier",
+            lambda: fused_ar_decode(
+                tparams, wcfg, genc, past256s[:, -1, :],
+                peer_gmem=gmem.astype(jnp.float32), peer_gvalid=gvalid,
+                peer_gid=gid, compute_dtype=jnp.float32,
+            ),
+            ref=gref, atol=5e-5,
+        )
+
     # conv+resize
     frames = jnp.asarray(rng.normal(size=(3, 48, 96)).astype(np.float32))
     k = jnp.asarray(rng.normal(size=(4, 3, 3)).astype(np.float32))

@@ -3,6 +3,8 @@
 import json
 import os
 
+import pytest
+
 import numpy as np
 
 from longterm360fov_tpu import cli
@@ -85,6 +87,7 @@ def test_predict_jsonl(tmp_path, capsys):
         )
 
 
+@pytest.mark.slow
 def test_predict_peers_from_export(tmp_path, capsys):
     """predict on a peer-consuming family, serving from an exported
     flat-npz (no orbax on the serving host), peers auto-filled from
@@ -143,6 +146,7 @@ def test_train_data_parallel(tmp_path, capsys):
     assert np.isfinite(metrics["loss"])
 
 
+@pytest.mark.slow
 def test_train_seq_parallel(tmp_path, capsys):
     """--seq-parallel rides the ring-attention SP path (parallel.sp):
     transformer horizon sharded over 'seq', spare devices on 'data'."""
@@ -184,6 +188,7 @@ def test_train_seq_parallel(tmp_path, capsys):
         )
 
 
+@pytest.mark.slow
 def test_train_pipeline_parallel(tmp_path, capsys):
     """--pipeline-parallel rides the GPipe path (parallel.pp)."""
     import pytest

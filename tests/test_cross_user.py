@@ -10,6 +10,7 @@ from longterm360fov_tpu import traces, train
 from longterm360fov_tpu.config import ExperimentConfig
 from longterm360fov_tpu.models import cross_user as CU
 from longterm360fov_tpu.models import seq2seq as S
+from longterm360fov_tpu.models.seq2seq import Seq2SeqConfig
 
 
 def _cfg(**kw):
@@ -132,3 +133,83 @@ def test_serve_fused_bf16_tier():
     )
     assert float(jnp.abs(out - ref).max()) < 0.08  # bf16-tier contract
     assert not np.allclose(np.asarray(out), np.asarray(ref))  # really bf16
+
+
+# ------------------------------------------------------------- r4:
+# time-aligned peer context (cfg.peer_align — the LSTM analog of the
+# transformer's windowed peer attention)
+
+def test_per_step_context_threading_matches_static():
+    """A (B, H_out, ctx) context whose every step slice equals a fixed
+    vector must reproduce the (B, ctx) static-context path in all
+    decode modes (TF / SS-coins / AR)."""
+
+    cfg = Seq2SeqConfig(d=3, hidden=16, layers=1, h_in=4, h_out=5, ctx_dim=6)
+    params = S.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    past = jnp.asarray(rng.normal(size=(3, 4, 3)).astype(np.float32))
+    fut = jnp.asarray(rng.normal(size=(3, 5, 3)).astype(np.float32))
+    ctx2 = jnp.asarray(rng.normal(size=(3, 6)).astype(np.float32))
+    ctx3 = jnp.broadcast_to(ctx2[:, None, :], (3, 5, 6))
+    coins = jnp.asarray(
+        rng.integers(0, 2, size=(5, 3, 1)).astype(np.float32)
+    )
+    for kwargs in [
+        dict(future_n=fut),                       # teacher forcing
+        dict(future_n=fut, coins=coins),          # explicit coins
+        dict(),                                   # autoregressive
+    ]:
+        a = S.apply(params, cfg, past, context=ctx2, **kwargs)
+        b = S.apply(params, cfg, past, context=ctx3, **kwargs)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6,
+            err_msg=f"mode {list(kwargs)}",
+        )
+
+
+def test_peer_align_trains_and_masks():
+    import dataclasses
+
+    cfg = Seq2SeqConfig(
+        d=3, hidden=16, layers=2, h_in=4, h_out=5, ctx_dim=8,
+        peer_align=True,
+    )
+    params = CU.init(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(1)
+    past = jnp.asarray(rng.normal(size=(4, 4, 3)).astype(np.float32))
+    fut = jnp.asarray(rng.normal(size=(4, 5, 3)).astype(np.float32))
+    peers = jnp.asarray(rng.normal(size=(4, 3, 5, 3)).astype(np.float32))
+    mask = jnp.ones((4, 3))
+
+    out = CU.apply(params, cfg, past, fut, other_future_n=peers,
+                   other_mask=mask)
+    assert out.shape == (4, 5, 3) and bool(jnp.isfinite(out).all())
+    # gradient flows through the aligned peer path
+    g = jax.grad(
+        lambda p: jnp.mean(CU.apply(
+            p, cfg, past, fut, other_future_n=peers, other_mask=mask
+        ) ** 2)
+    )(params)
+    assert float(jnp.abs(g["peer_encoder"].w).max()) > 0
+    # all peers masked == plain seq2seq (zero context), same as the
+    # static-context family contract
+    zero = CU.apply(params, cfg, past, fut, other_future_n=peers,
+                    other_mask=jnp.zeros((4, 3)))
+    plain = CU.apply(params, cfg, past, fut)
+    np.testing.assert_allclose(
+        np.asarray(zero), np.asarray(plain), atol=1e-6
+    )
+    # aligned context differs from the static-context model (it is a
+    # different function, not a re-labeling)
+    static_cfg = dataclasses.replace(cfg, peer_align=False)
+    stat = CU.apply(params, static_cfg, past, fut, other_future_n=peers,
+                    other_mask=mask)
+    assert float(jnp.abs(stat - out).max()) > 1e-4
+    # fused train/serve entries route through the XLA path unchanged
+    ftf = CU.apply_fused_tf(params, cfg, past, fut,
+                            other_future_n=peers, other_mask=mask)
+    np.testing.assert_allclose(np.asarray(ftf), np.asarray(out), atol=1e-6)
+    ar = CU.apply(params, cfg, past, other_future_n=peers, other_mask=mask)
+    sv = CU.serve_fused(params, cfg, past, other_future_n=peers,
+                        other_mask=mask)
+    np.testing.assert_allclose(np.asarray(sv), np.asarray(ar), atol=1e-6)

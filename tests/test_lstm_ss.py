@@ -44,6 +44,7 @@ def test_ss_forward_parity(layers, ctx_dim):
 
 
 @pytest.mark.parametrize("layers,ctx_dim", [(1, 0), (2, 8)])
+@pytest.mark.slow
 def test_ss_grad_parity(layers, ctx_dim):
     cfg, params, past, fut, coins, ctx = _setup(layers, ctx_dim, seed=1)
 

@@ -93,6 +93,7 @@ def test_batch_tiling_grad():
         )
 
 
+@pytest.mark.slow
 def test_apply_fused_tf_parity_and_grads():
     """Full teacher-forced seq2seq on fused primitives == XLA apply,
     values AND parameter gradients (chains encoder final-state grads
@@ -197,6 +198,7 @@ def test_apply_fused_tf_bf16_residuals_close():
         )
 
 
+@pytest.mark.slow
 def test_bf16_compute_tier_close():
     """compute_dtype=bfloat16 (single-pass MXU matmuls, f32 accumulation)
     must stay close to the exact f32 kernels in BOTH the forward values

@@ -26,6 +26,8 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+pytestmark = pytest.mark.slow  # two-process jax.distributed: minutes-long (make test-all)
+
 WORKER = r"""
 import json, sys
 import jax
@@ -47,6 +49,7 @@ from longterm360fov_tpu.config import ExperimentConfig
 from longterm360fov_tpu.models.seq2seq import Seq2SeqConfig, apply, init
 from longterm360fov_tpu.parallel import mesh as PM
 from longterm360fov_tpu.parallel import multihost as MH
+
 
 cfg = ExperimentConfig(
     name="mh-test",

@@ -16,6 +16,8 @@ from longterm360fov_tpu.models import transformer as T
 from longterm360fov_tpu.models.seq2seq import Seq2SeqConfig
 from longterm360fov_tpu.parallel import pp
 
+pytestmark = pytest.mark.slow  # 8-device mesh parity: minutes-long (make test-all)
+
 H_OUT = 12
 B = 8
 

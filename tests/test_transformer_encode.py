@@ -84,6 +84,7 @@ def test_serve_fused_uses_fused_encoder():
     )
 
 
+@pytest.mark.slow
 class TestFusedEncodeTrain:
     """Differentiable fused encoder (ops.transformer_encode_train):
     forward parity + parameter-gradient parity vs jax.grad through the
