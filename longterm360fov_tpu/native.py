@@ -31,6 +31,9 @@ __all__ = [
 
 
 def _load():
+    # escape hatch for A/B measurement and fallback debugging
+    if os.environ.get("LONGTERM360FOV_NO_NATIVE"):
+        return None
     # preferred location: built into the package by the root setup.py
     try:
         from . import _fastio  # noqa: PLC0415
