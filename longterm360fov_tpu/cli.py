@@ -78,6 +78,13 @@ def _build_parser() -> argparse.ArgumentParser:
         "(0 = reference's pure MSE; ~0.2-0.5 measured best, RESULTS.md)",
     )
     tr.add_argument(
+        "--peer-align", action="store_true", dest="peer_align",
+        help="cross_user family: time-aligned peer context — decoder "
+        "step t conditions on the peer encoder's state AT step t "
+        "instead of one pooled final-state vector (XLA train path; "
+        "the LSTM analog of the transformer's windowed peers)",
+    )
+    tr.add_argument(
         "--train-compute", dest="train_compute",
         choices=["float32", "bfloat16"],
         help="matmul dtype inside the fused training kernels (bfloat16 "
@@ -386,6 +393,8 @@ def cmd_train(args):
         over["data_parallel"] = True
     if args.bf16:
         over["model_param_dtype"] = "bfloat16"
+    if getattr(args, "peer_align", False):
+        over["model_peer_align"] = True
     cfg = get_preset(args.preset, **over)
     fam = get_family(cfg.model_family)
     sp_mesh = None
