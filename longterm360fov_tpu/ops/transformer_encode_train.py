@@ -11,7 +11,7 @@ Design:
   parity with models.transformer._encode.
 * Under `jax.grad`, the VJP forward runs a FWD-STASH kernel — the same
   forward plus one extra output stashing the per-layer intermediates
-  (x0, x1, h_in, q, k, v, att) to HBM — and the backward runs a
+  (x0, x1, q, k, v, att) to HBM — and the backward runs a
   REVERSE-ONLY kernel that consumes the stash. Two medium kernels
   instead of one recompute-everything giant: a single fwd+bwd kernel's
   unrolled graph got the Mosaic compile helper OOM-killed (SIGKILL)
@@ -24,7 +24,7 @@ Design:
   layer regardless of depth. The HEAD loop stays unrolled: value-level
   dynamic_slice is unimplemented in Mosaic's TPU lowering (smoke r4).
   Stash traffic is
-  7·L·H·T·B f32 (≈229 MB round-trip at b1024/T32/L2 ≈ 0.3 ms of HBM
+  6·L·H·T·B f32 (≈196 MB round-trip at b1024/T32/L2 ≈ 0.25 ms of HBM
   time) — noise next to the multi-ms XLA attention backward it
   replaces.
 * Weight gradients accumulate ACROSS batch tiles into outputs whose
@@ -61,7 +61,9 @@ from .transformer_encode import _encode_kernel
 
 N_HEADS = 4
 _EPS = 1e-6
-_N_SAVED = 7  # x0, x1, h_in, q, k, v, att
+_N_SAVED = 6  # x0, x1, q, k, v, att (h_in = ln(x0), recomputed:
+# dropping it cut the reverse kernel's scoped-vmem stack under the
+# 120 MB limit at preset shapes — r4)
 
 __all__ = ["fused_encode_train"]
 
@@ -142,9 +144,11 @@ def _make_math(t_in: int, t_pad: int, tile_b: int, hidden: int):
     key_ids = lax.broadcasted_iota(jnp.int32, (1, t_pad, tile_b), 1)
     key_valid = key_ids < t_in
 
-    # Laxer chunk cap than the serving kernel (24 MB vs 8): these
-    # kernels are compile-time-bound, not liveness-bound, at T ≤ 64 —
-    # fewer chunks = fewer unrolled attend segments.
+    # Laxer chunk cap than the serving kernel (24 MB vs 8): chunk
+    # outputs accumulate in lists that are all live at the final
+    # concatenate, so MORE chunks measured a LARGER scoped-vmem stack
+    # (121.9M at cap 12 vs 116.9M at cap 24, preset shapes r4) —
+    # fewer, bigger chunks win here.
     q_chunk = t_pad
     while (
         head * q_chunk * t_pad * tile_b * 4 > 24 * 1024 * 1024
@@ -251,7 +255,7 @@ def _fwd_stash_kernel(
     tile_b: int,
 ):
     """Forward + stash: enc_ref (H,T_pad,B) and save_ref
-    (L,_N_SAVED,H,T_pad,B) with [x0, x1, h_in, q, k, v, att]."""
+    (L,_N_SAVED,H,T_pad,B) with [x0, x1, q, k, v, att]."""
     (x_ref, w_in, pos_ref, attn_w, mlp_w1, mlp_b1, mlp_w2, mlp_b2, ln_w,
      enc_ref, save_ref) = refs
     M = _make_math(t_in, t_pad, tile_b, hidden)  # noqa: N806
@@ -281,7 +285,7 @@ def _fwd_stash_kernel(
             x1 + M.mm(mlp_w2[pl.ds(l, 1)][0], g1)
             + mlp_b2[pl.ds(l, 1)][0][:, :, None]
         )
-        for si, arr in enumerate((x0, x1, h_in, q, k, v, att)):
+        for si, arr in enumerate((x0, x1, q, k, v, att)):
             save_ref[pl.ds(l, 1), si] = arr[None]
         return x
 
@@ -311,9 +315,14 @@ def _reverse_kernel(
     # use dynamic-offset read-modify-write on the (sequential) grid.
     def layer_body(j, g):
         l = n_layers - 1 - j
-        sv = save_ref[pl.ds(l, 1)][0]  # (7, H, T_pad, B)
-        x0, x1, h_in = sv[0], sv[1], sv[2]
-        q, k, v, att = sv[3], sv[4], sv[5], sv[6]
+        # per-component stash reads (NOT one bulk (7,H,T,B) value):
+        # the r4 preset-shape compile OOM'd scoped vmem at 116.9M/100M
+        # with the bulk load — individual reads let the allocator end
+        # each component's liveness at its last use
+        def sv(si):
+            return save_ref[pl.ds(l, 1), si][0]
+
+        x1 = sv(1)
         aw = attn_w[pl.ds(l, 1)][0]
         lnl = ln_w[pl.ds(l, 1)][0]
         w1 = mlp_w1[pl.ds(l, 1)][0]
@@ -334,9 +343,11 @@ def _reverse_kernel(
         d_ln[pl.ds(l, 1), 1, 1] += dbi[None]
         g_x1 = g + g_x1_ln
         # attention sublayer (stashed intermediates)
-        d_attn[pl.ds(l, 1), 3] += M.outer(g_x1, att)[None]
+        d_attn[pl.ds(l, 1), 3] += M.outer(g_x1, sv(5))[None]  # att
         g_att = M.mm_t(aw[3], g_x1)
-        g_q, g_k, g_v = M.attend_bwd(q, k, v, g_att)
+        g_q, g_k, g_v = M.attend_bwd(sv(2), sv(3), sv(4), g_att)
+        x0 = sv(0)
+        h_in = M.ln_f(x0, lnl[0, 0], lnl[0, 1])  # recomputed, not stashed
         d_attn[pl.ds(l, 1), 0] += M.outer(g_q, h_in)[None]
         d_attn[pl.ds(l, 1), 1] += M.outer(g_k, h_in)[None]
         d_attn[pl.ds(l, 1), 2] += M.outer(g_v, h_in)[None]
@@ -374,7 +385,9 @@ def _tiled_spec(shape_prefix, tile_b):
     )
 
 
-_COMPILER = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+# 120 MB like the decode kernel: the r4 preset-shape reverse compile
+# measured 116.9M scoped vmem against the previous 100M limit
+_COMPILER = pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
