@@ -196,6 +196,44 @@ def main():
         variants["peer_grad"] = lambda: f_peer_g(params)
     variants["optax"] = lambda: optax_only(params, grads0, opt_state0)[0]
 
+    # empirical roofline probe: a pure f32 matmul chain at EXACTLY the
+    # step's dominant dense shapes ((B·T, H) × (H, 4H) × (4H, H), the
+    # MLP/projection pattern) with the same analytic FLOP count as
+    # fwdbwd — what this chip/relay can actually sustain on these
+    # shapes is the honest bound to hold components against
+    h = mcfg.hidden
+    bt = b * mcfg.h_out
+    w1p = jnp.asarray(
+        np.random.default_rng(1).normal(size=(h, 4 * h)).astype(np.float32)
+        * 0.01
+    )
+    w2p = jnp.asarray(
+        np.random.default_rng(2).normal(size=(4 * h, h)).astype(np.float32)
+        * 0.01
+    )
+    x0p = jnp.asarray(
+        np.random.default_rng(3).normal(size=(bt, h)).astype(np.float32)
+    )
+    per_iter = 2.0 * bt * h * 4 * h * 2
+    fl0 = component_flops(cfg, b)
+    fwdbwd_flops = 3.0 * (fl0["enc"] + fl0["dec"] + fl0["peer"])
+    mm_iters = max(int(round(fwdbwd_flops / per_iter)), 1)
+
+    @jax.jit
+    def mm_chain(x, w1, w2):
+        def body(y, _):
+            y = jnp.tanh(jnp.dot(
+                jnp.dot(y, w1, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST),
+                w2, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ))
+            return y, None
+        y, _ = jax.lax.scan(body, x, None, length=mm_iters)
+        return jnp.sum(y[:1, :1])
+
+    variants["mm_bound"] = lambda: mm_chain(x0p, w1p, w2p)
+
     def fetch(v):
         out = v()
         return float(out if not isinstance(out, tuple) else out[0])
@@ -229,6 +267,7 @@ def main():
         "fwd": fl["enc"] + fl["dec"] + fl["peer"],
         "fwdbwd": 3.0 * (fl["enc"] + fl["dec"] + fl["peer"]),
         "full_step": 3.0 * (fl["enc"] + fl["dec"] + fl["peer"]),
+        "mm_bound": mm_iters * per_iter,
     }
     for name in variants:
         arr = np.array(times[name])
