@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--preset", default="transformer-10s")
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--groups", default="4,32")
+    ap.add_argument("--window", type=int, default=None,
+                    help="override cfg.peer_window (e.g. 0 to compare "
+                    "the unwindowed shared attend)")
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--rounds", type=int, default=2)
     ap.add_argument("--cpu", action="store_true")
@@ -53,6 +56,11 @@ def main():
         assert jax.default_backend() == "tpu", "perf A/B needs the TPU"
 
     base = get_preset(args.preset)
+    if args.window is not None:
+        base = dataclasses.replace(
+            base, model=dataclasses.replace(base.model,
+                                            peer_window=args.window)
+        )
     cfg = dataclasses.replace(base, batch_size=args.batch)
     mcfg = cfg.model
     k = cfg.n_other_users
@@ -122,6 +130,7 @@ def main():
                 ms = dt / n * 1e3
                 row = dict(
                     kind="peer_dedup_ab", name=name, preset=cfg.name,
+                    window=mcfg.peer_window,
                     batch=b, groups=g_n, round=r, ms=round(ms, 1),
                     traj_per_s=round(b / (dt / n), 1),
                     ts=time.strftime("%Y-%m-%dT%H:%M:%S"),
