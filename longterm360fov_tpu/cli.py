@@ -272,8 +272,30 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     it.add_argument("--rate", type=float, default=10.0, help="resample Hz")
 
+    # --peer-align changes what cross_user params MEAN (it is part of
+    # the model hash), so every subcommand that loads a checkpoint must
+    # be able to declare it — not just train (found by /verify: eval of
+    # an align-trained checkpoint had no way to match the model hash).
+    for cp in (ev, sb, pr, sv, st, sd, ex):
+        cp.add_argument(
+            "--peer-align", action="store_true", dest="peer_align",
+            help="cross_user family: the checkpoint was trained with "
+            "time-aligned peer context (--peer-align); this flag must "
+            "match training or the model-hash check refuses the load",
+        )
+
     sub.add_parser("presets", help="list experiment presets")
     return p
+
+
+def _preset_cfg(args, **over):
+    """Preset + the model-mode overrides shared by the non-train
+    subcommands (currently just --peer-align)."""
+    from .config import get_preset
+
+    if getattr(args, "peer_align", False):
+        over["model_peer_align"] = True
+    return get_preset(args.preset, **over)
 
 
 def _open_checkpoint(ckpt_dir, cfg, *, resuming=False):
@@ -564,10 +586,9 @@ def cmd_train(args):
 def cmd_eval(args):
     from . import evaluate as E
     from . import train as TR
-    from .config import get_preset
     from .models import get_family
 
-    cfg = get_preset(args.preset)
+    cfg = _preset_cfg(args)
     fam = get_family(cfg.model_family)
     opt = TR.make_optimizer(cfg)
     ck = _open_checkpoint(args.ckpt_dir, cfg)
@@ -617,10 +638,9 @@ def cmd_serve_bench(args):
     import jax.numpy as jnp
 
     from . import infer
-    from .config import get_preset
     from .models import get_family
 
-    cfg = get_preset(args.preset)
+    cfg = _preset_cfg(args)
     fam = get_family(cfg.model_family)
     params = fam.init(jax.random.PRNGKey(0), cfg.model)
     rng = np.random.default_rng(0)
@@ -672,10 +692,9 @@ def cmd_predict(args):
     import jax.numpy as jnp
 
     from . import geometry, infer
-    from .config import get_preset
     from .models import get_family
 
-    cfg = get_preset(args.preset)
+    cfg = _preset_cfg(args)
     fam = get_family(cfg.model_family)
     if args.params:
         from . import serving as SV
@@ -788,10 +807,9 @@ def cmd_serve(args):
 
     from . import baselines, infer
     from . import train as TR
-    from .config import get_preset
     from .models import get_family
 
-    cfg = get_preset(args.preset)
+    cfg = _preset_cfg(args)
     fam = get_family(cfg.model_family)
     opt = TR.make_optimizer(cfg)
     ck = _open_checkpoint(args.ckpt_dir, cfg)
@@ -831,10 +849,9 @@ def cmd_serve(args):
 def cmd_stream_sim(args):
     from . import infer
     from . import train as TR
-    from .config import get_preset
     from .models import get_family
 
-    cfg = get_preset(args.preset)
+    cfg = _preset_cfg(args)
     fam = get_family(cfg.model_family)
     opt = TR.make_optimizer(cfg)
     ck = _open_checkpoint(args.ckpt_dir, cfg)
@@ -872,10 +889,9 @@ def cmd_serve_daemon(args):
     a flat `export` npz (numpy-only hosts)."""
     from . import serving
     from . import train as TR
-    from .config import get_preset
     from .models import get_family
 
-    cfg = get_preset(args.preset)
+    cfg = _preset_cfg(args)
     fam = get_family(cfg.model_family)
     if args.params:
         params = serving.load_exported_params(args.params, cfg, fam)
@@ -927,10 +943,9 @@ def cmd_export(args):
     import jax
 
     from . import train as TR
-    from .config import get_preset
     from .models import get_family
 
-    cfg = get_preset(args.preset)
+    cfg = _preset_cfg(args)
     fam = get_family(cfg.model_family)
     opt = TR.make_optimizer(cfg)
     ck = _open_checkpoint(args.ckpt_dir, cfg)

@@ -261,7 +261,36 @@ def serve_fused(
     kernel, matching seq2seq.serve_fused's bf16 serving tier (ADVICE r2:
     the cross_user family previously always upcast peers to f32)."""
     if cfg.peer_align and other_future_n is not None and context is None:
-        # per-step context → XLA AR decode (quality-first option)
+        # TIME-ALIGNED peer context (r4): the K peer encoders run inside
+        # the serve kernel in lockstep with the decoder — step t's
+        # context is the mask-weighted mean of the peer hidden states at
+        # step t, never materialized as a (B, T, C) tensor. Falls back
+        # to the XLA AR decode when the peer windows don't span h_out
+        # (the kernel's lockstep contract).
+        from ..ops.fused_lstm import fused_serve as _fused_serve
+
+        b, k = other_future_n.shape[:2]
+        if other_future_n.shape[2] == cfg.h_out:
+            if other_mask is None:
+                w = jnp.full((b, k), 1.0 / k, jnp.float32)
+            else:
+                m = other_mask.astype(jnp.float32)
+                w = m / jnp.maximum(
+                    jnp.sum(m, axis=1, keepdims=True), 1.0
+                )
+            return _fused_serve(
+                params["encoder"],
+                params["decoder"],
+                params["proj"]["w"],
+                params["proj"]["b"],
+                past_n,
+                cfg.h_out,
+                peer_params=params["peer_encoder"],
+                peer_xs=other_future_n,
+                peer_w=w,
+                tile_b=min(tile_b, past_n.shape[0]),
+                compute_dtype=compute_dtype,
+            )
         return apply(
             params, cfg, past_n,
             other_future_n=other_future_n, other_mask=other_mask,

@@ -286,16 +286,22 @@ def _serve_kernel(
     ctx_dim: int,
     tile_b: int,
     compute_dtype,
+    n_peers: int = 0,
 ):
     """refs layout:
-    inputs:  xs (D, T_in, B) past window, [ctx (B, C)],
+    inputs:  xs (D, T_in, B) past window,
+             [ctx (B, C)]                     static context, XOR
+             [pxs (K*D, T_out, B), pwt (B, K)] lockstep peer windows
+                                              + mask weights (n_peers),
              w_enc_l ((in_l+H), 4H) x L, b_enc_l (1, 4H) x L,
              w_dec_l ((in_l+H), 4H) x L, b_dec_l (1, 4H) x L,
+             [w_peer (D+C, 4C), b_peer (1, 4C)] when n_peers,
              proj_w (H, D), proj_b (1, D)
     outputs: ys (D, T_out, B)
     scratch: z_l (B, in_l+H) x L   packed [x_or_y, h] per layer,
              [z0d (B, d+C+H)]      decoder layer-0 buffer when ctx,
-             c   (L, B, H)         cell states (f32)
+             c   (L, B, H)         cell states (f32),
+             [zp_k (B, D+C) x K, cp (K, B, C)] peer packed/cell states
 
     One fused matmul per layer per step: gates = z_l @ W_l. The packed
     z buffer holds the step input in its first in_l lanes and the
@@ -303,25 +309,41 @@ def _serve_kernel(
     x/h matmuls. Everything (weights, states, feedback) stays in VMEM
     for the whole request; HBM sees the past window once in and the
     trajectory once out. Context (cross-user / video features) occupies
-    static lanes of the decoder layer-0 buffer, written once.
+    static lanes of the decoder layer-0 buffer — written once when
+    static, or re-written EVERY step by the lockstep peer encoder
+    (cfg.peer_align serving tier, r4): at decode step t the K peer LSTM
+    cells advance one step on their known future windows and the
+    mask-weighted mean of their hidden states becomes the step-t
+    context (semantics of models.cross_user.encode_peers_aligned,
+    with the (B, T, C) context tensor never materialized).
     """
     it = iter(refs)
     xs_ref = next(it)
-    ctx_ref = next(it) if ctx_dim else None
+    ctx_ref = next(it) if ctx_dim and not n_peers else None
+    pxs_ref = next(it) if n_peers else None
+    pwt_ref = next(it) if n_peers else None
     w_enc = [next(it) for _ in range(n_layers)]
     b_enc = [next(it) for _ in range(n_layers)]
     w_dec = [next(it) for _ in range(n_layers)]
     b_dec = [next(it) for _ in range(n_layers)]
+    wp_ref = next(it) if n_peers else None
+    bp_ref = next(it) if n_peers else None
     pw_ref = next(it)
     pb_ref = next(it)
     ys_ref = next(it)
     z_s = [next(it) for _ in range(n_layers)]
     z0d = next(it) if ctx_dim else z_s[0]
     c_s = next(it)
+    zp_s = [next(it) for _ in range(n_peers)]
+    cp_s = next(it) if n_peers else None
 
     for l in range(n_layers):
         z_s[l][:] = jnp.zeros_like(z_s[l])
     c_s[:] = jnp.zeros_like(c_s)
+    for k in range(n_peers):
+        zp_s[k][:] = jnp.zeros_like(zp_s[k])
+    if n_peers:
+        cp_s[:] = jnp.zeros_like(cp_s)
 
     def cell(buf, l, in_l, w_refs, b_refs):
         # weights arrive pre-cast to compute_dtype (cast hoisted out of
@@ -341,6 +363,25 @@ def _serve_kernel(
         buf[:, in_l:] = h_new.astype(buf.dtype)
         return h_new
 
+    def peer_cell(k):
+        # one peer-encoder LSTM step (hidden width = ctx_dim); same
+        # packed-[x, h] single-matmul pattern as cell() but with its own
+        # weight/state refs — peers share ONE weight matrix across K
+        gates = (
+            jnp.dot(zp_s[k][:], wp_ref[:],
+                    preferred_element_type=jnp.float32)
+            + bp_ref[:]
+        )
+        i = jax.nn.sigmoid(gates[:, :ctx_dim])
+        f = jax.nn.sigmoid(gates[:, ctx_dim : 2 * ctx_dim])
+        g = jnp.tanh(gates[:, 2 * ctx_dim : 3 * ctx_dim])
+        o = jax.nn.sigmoid(gates[:, 3 * ctx_dim :])
+        c_new = f * cp_s[k] + i * g
+        h_new = o * jnp.tanh(c_new)
+        cp_s[k] = c_new
+        zp_s[k][:, d:] = h_new.astype(zp_s[k].dtype)
+        return h_new
+
     def enc_step(t, _):
         x_t = xs_ref[:, pl.ds(t, 1), :][:, 0, :].T  # (tile_b, d)
         inp = x_t
@@ -356,13 +397,27 @@ def _serve_kernel(
     y0 = xs_ref[:, pl.ds(t_in - 1, 1), :][:, 0, :].T  # (tile_b, d)
     dec_in0 = d + ctx_dim
     if ctx_dim:
-        # layer-0 decoder buffer: [y, ctx, h]; ctx static, h seeded from
-        # the encoder's final layer-0 hidden state
-        z0d[:, d:dec_in0] = ctx_ref[:].astype(z0d.dtype)
+        # layer-0 decoder buffer: [y, ctx, h]; h seeded from the
+        # encoder's final layer-0 hidden state. Static ctx is written
+        # once here; lockstep-peer ctx is re-written every dec_step.
+        if not n_peers:
+            z0d[:, d:dec_in0] = ctx_ref[:].astype(z0d.dtype)
         z0d[:, dec_in0:] = z_s[0][:, d:]
     z0d[:, :d] = y0.astype(z0d.dtype)
 
     def dec_step(t, _):
+        if n_peers:
+            # advance the K peer encoders one step; their mask-weighted
+            # mean hidden state is THIS step's decoder context
+            ctx_t = jnp.zeros((tile_b, ctx_dim), jnp.float32)
+            for k in range(n_peers):
+                x_kt = pxs_ref[
+                    k * d : (k + 1) * d, pl.ds(t, 1), :
+                ][:, 0, :].T  # (tile_b, d)
+                zp_s[k][:, :d] = x_kt.astype(zp_s[k].dtype)
+                h_k = peer_cell(k)
+                ctx_t = ctx_t + h_k * pwt_ref[:, k : k + 1]
+            z0d[:, d:dec_in0] = ctx_t.astype(z0d.dtype)
         inp = None
         for l in range(n_layers):
             if l == 0:
@@ -391,6 +446,9 @@ def fused_serve(
     t_out: int,
     *,
     context=None,  # (B, C) per-viewer context (decoder layer-0 lanes)
+    peer_params: Optional[LSTMParams] = None,  # shared peer-encoder cell
+    peer_xs=None,  # (B, K, t_out, D) peer futures (cfg.peer_align tier)
+    peer_w=None,  # (B, K) mask weights: mask / max(sum(mask), 1)
     tile_b: int = 2048,
     compute_dtype=jnp.float32,
 ) -> jax.Array:
@@ -403,11 +461,34 @@ def fused_serve(
     state (the precision-critical carry). Per-viewer ``context`` feeds
     the decoder's layer-0 [y, ctx, h] packed lanes (cross_user/fusion
     families).
+
+    TIME-ALIGNED peer tier (r4, cfg.peer_align — the measured best
+    quality recipe at the 100-frame horizon, RESULTS.md): pass
+    ``peer_params``/``peer_xs``/``peer_w`` instead of ``context``. The
+    K peer-encoder LSTMs run INSIDE the kernel in lockstep with the
+    decoder — at step t each advances one step on its known future
+    window and the mask-weighted mean of their hidden states becomes
+    the step-t context. Semantics match
+    models.cross_user.encode_peers_aligned + the XLA AR decode
+    (parity-tested) with the (B, t_out, C) context tensor never
+    leaving registers, and zero extra HBM round-trips.
     """
     n_layers = len(enc_params)
     batch, t_in, d = past_n.shape
     hidden = proj_w.shape[0]
-    ctx_dim = 0 if context is None else context.shape[-1]
+    n_peers = 0
+    if peer_xs is not None:
+        if context is not None:
+            raise ValueError("pass either context or peer_xs, not both")
+        if peer_xs.shape[2] != t_out:
+            raise ValueError(
+                f"lockstep peer windows must span t_out={t_out} steps, "
+                f"got {peer_xs.shape[2]}"
+            )
+        n_peers = peer_xs.shape[1]
+        ctx_dim = peer_params.w.shape[1] // 4  # peer-encoder hidden
+    else:
+        ctx_dim = 0 if context is None else context.shape[-1]
     # VMEM-aware tile cap: per-row f32 words of the resident blocks —
     # double-buffered in/out streams, ctx block, packed [x,(ctx,)h]
     # scratch per layer (lane-padded to 128), the ctx decoder z0d, and
@@ -420,6 +501,10 @@ def fused_serve(
         words += _round_up((d if l == 0 else hidden) + hidden, 128)
     if ctx_dim:
         words += _round_up(d + ctx_dim + hidden, 128)
+    if n_peers:
+        # peer window stream + mask lanes + packed/cell peer scratches
+        words += 2 * n_peers * d * t_out + _round_up(n_peers, 128)
+        words += n_peers * (_round_up(d + ctx_dim, 128) + ctx_dim)
     rows = max((10 * 1024 * 1024 // (4 * words)) // 128 * 128, 128)
     tile_b = _pick_tile(batch, min(tile_b, rows))
     grid = (batch // tile_b,)
@@ -437,6 +522,7 @@ def fused_serve(
         ctx_dim=ctx_dim,
         tile_b=tile_b,
         compute_dtype=compute_dtype,
+        n_peers=n_peers,
     )
 
     in_specs = [
@@ -444,12 +530,27 @@ def fused_serve(
                      memory_space=pltpu.VMEM),
     ]
     inputs = [xs]
-    if ctx_dim:
+    if ctx_dim and not n_peers:
         in_specs.append(
             pl.BlockSpec((tile_b, ctx_dim), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
         )
         inputs.append(context.astype(jnp.float32))
+    if n_peers:
+        # (B, K, T, D) → (K*D, T, B): lanes = batch, same as xs; peer k
+        # occupies rows k*d:(k+1)*d
+        pxs = jnp.transpose(peer_xs.astype(jnp.float32), (1, 3, 2, 0))
+        pxs = pxs.reshape(n_peers * d, t_out, batch)
+        in_specs.append(
+            pl.BlockSpec((n_peers * d, t_out, tile_b),
+                         lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+        )
+        inputs.append(pxs)
+        in_specs.append(
+            pl.BlockSpec((tile_b, n_peers), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        inputs.append(peer_w.astype(jnp.float32))
     # kernel ordering: enc weights, enc biases, dec weights, dec biases
     for plist in (enc_params, dec_params):
         for p in plist:
@@ -464,6 +565,17 @@ def fused_serve(
                              memory_space=pltpu.VMEM)
             )
             inputs.append(p.b.reshape(1, -1).astype(jnp.float32))
+    if n_peers:
+        in_specs.append(
+            pl.BlockSpec(peer_params.w.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        inputs.append(peer_params.w.astype(compute_dtype))
+        in_specs.append(
+            pl.BlockSpec((1, peer_params.b.shape[0]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        inputs.append(peer_params.b.reshape(1, -1).astype(jnp.float32))
     in_specs.append(
         pl.BlockSpec(proj_w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
     )
@@ -483,6 +595,12 @@ def fused_serve(
             pltpu.VMEM((tile_b, d + ctx_dim + hidden), z_dtype)
         )
     scratch.append(pltpu.VMEM((n_layers, tile_b, hidden), jnp.float32))
+    for _ in range(n_peers):
+        scratch.append(pltpu.VMEM((tile_b, d + ctx_dim), z_dtype))
+    if n_peers:
+        scratch.append(
+            pltpu.VMEM((n_peers, tile_b, ctx_dim), jnp.float32)
+        )
 
     ys = pl.pallas_call(
         kernel,

@@ -69,6 +69,25 @@ def main():
         "fused_serve", lambda: S.serve_fused(params, cfg, past, tile_b=8),
         ref=ref,
     )
+    # lockstep-peer aligned serve (cfg.peer_align tier, r4)
+    from longterm360fov_tpu.models import cross_user as CU
+
+    acfg = S.Seq2SeqConfig(
+        d=3, hidden=128, layers=2, h_in=6, h_out=9, ctx_dim=128,
+        peer_align=True,
+    )
+    aparams = CU.init(jax.random.PRNGKey(5), acfg)
+    peers = jnp.asarray(rng.normal(size=(16, 4, 9, 3)).astype(np.float32) * 0.1)
+    amask = jnp.asarray(rng.integers(0, 2, size=(16, 4)).astype(np.float32))
+    aref = CU.apply(aparams, acfg, past, other_future_n=peers,
+                    other_mask=amask)
+    check(
+        "fused_serve_aligned",
+        lambda: CU.serve_fused(aparams, acfg, past, other_future_n=peers,
+                               other_mask=amask, tile_b=8),
+        ref=aref, atol=2e-5,
+    )
+
     ref_tf = S.apply(params, cfg, past, fut)
     check(
         "apply_fused_tf",

@@ -213,3 +213,66 @@ def test_peer_align_trains_and_masks():
     sv = CU.serve_fused(params, cfg, past, other_future_n=peers,
                         other_mask=mask)
     np.testing.assert_allclose(np.asarray(sv), np.asarray(ar), atol=1e-6)
+
+
+def test_aligned_serve_kernel_parity_stacked():
+    """The lockstep-peer serve kernel (r4): parity with the XLA aligned
+    AR decode at a stacked 2-layer config, plus mask semantics — a
+    masked peer slot filled with garbage must not change the output."""
+    cfg = Seq2SeqConfig(
+        d=3, hidden=16, layers=2, h_in=6, h_out=7, ctx_dim=8,
+        peer_align=True,
+    )
+    params = CU.init(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(3)
+    past = jnp.asarray(rng.normal(size=(8, 6, 3)).astype(np.float32))
+    peers = jnp.asarray(rng.normal(size=(8, 4, 7, 3)).astype(np.float32))
+    mask = jnp.asarray(
+        rng.integers(0, 2, size=(8, 4)).astype(np.float32)
+    ).at[0].set(1.0)  # row 0 keeps all peers
+
+    ar = CU.apply(params, cfg, past, other_future_n=peers, other_mask=mask)
+    sv = CU.serve_fused(params, cfg, past, other_future_n=peers,
+                        other_mask=mask)
+    np.testing.assert_allclose(np.asarray(sv), np.asarray(ar), atol=2e-6)
+
+    # garbage in masked slots is invisible to the kernel
+    garbage = jnp.where(mask[:, :, None, None] > 0, peers, 1e3)
+    sv2 = CU.serve_fused(params, cfg, past, other_future_n=garbage,
+                         other_mask=mask)
+    np.testing.assert_allclose(np.asarray(sv2), np.asarray(sv), atol=2e-6)
+
+    # no mask at all == plain mean over K (encode_peers_aligned contract)
+    ar_nm = CU.apply(params, cfg, past, other_future_n=peers)
+    sv_nm = CU.serve_fused(params, cfg, past, other_future_n=peers)
+    np.testing.assert_allclose(np.asarray(sv_nm), np.asarray(ar_nm),
+                               atol=2e-6)
+
+
+def test_aligned_serve_bf16_tier_and_fallback():
+    cfg = Seq2SeqConfig(
+        d=3, hidden=16, layers=1, h_in=5, h_out=6, ctx_dim=8,
+        peer_align=True,
+    )
+    params = CU.init(jax.random.PRNGKey(4), cfg)
+    rng = np.random.default_rng(4)
+    past = jnp.asarray(rng.normal(size=(4, 5, 3)).astype(np.float32))
+    peers = jnp.asarray(
+        0.1 * rng.normal(size=(4, 2, 6, 3)).astype(np.float32)
+    )
+    mask = jnp.ones((4, 2))
+    f32 = CU.serve_fused(params, cfg, past, other_future_n=peers,
+                         other_mask=mask)
+    b16 = CU.serve_fused(params, cfg, past, other_future_n=peers,
+                         other_mask=mask, compute_dtype=jnp.bfloat16)
+    assert f32.shape == b16.shape == (4, 6, 3)
+    assert float(jnp.abs(b16 - f32).max()) < 0.1  # bf16 matmuls, f32 carry
+
+    # peer windows that don't span h_out: the kernel's lockstep contract
+    # fails → serve_fused falls back to the XLA aligned decode, whose
+    # horizon is the peer span (scan driven by the context sequence)
+    short = peers[:, :, :4]
+    sv = CU.serve_fused(params, cfg, past, other_future_n=short,
+                        other_mask=mask)
+    ar = CU.apply(params, cfg, past, other_future_n=short, other_mask=mask)
+    np.testing.assert_allclose(np.asarray(sv), np.asarray(ar), atol=1e-6)
