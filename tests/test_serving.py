@@ -10,6 +10,7 @@ Covers the serving runtime (serving.py) end to end on CPU:
 - export-npz param loading round trip.
 """
 
+import dataclasses
 import json
 import threading
 import time
@@ -1004,3 +1005,46 @@ def test_group_pack_end_to_end_grouped_serve():
         compute_dtype=jnp.float32,
     )
     np.testing.assert_allclose(out, np.asarray(ref), atol=3e-5)
+
+
+def test_peer_align_daemon_flow_fused():
+    """The --peer-align daemon wiring (r4): the batcher's peer extras
+    are exactly (K, h_out, 3) — the lockstep-peer serve kernel's
+    contract — so impl="fused" must route T3a and match the XLA
+    aligned decode through the whole predict path."""
+    cfg = tiny_cfg("cross_user")
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, peer_align=True)
+    )
+    fam = get_family("cross_user")
+    params = fam.init(jax.random.PRNGKey(0), cfg.model)
+    fused = serving.make_serve_fn(
+        params, cfg, fam, with_tiles=False, impl="fused"
+    )
+    xla = serving.make_serve_fn(
+        params, cfg, fam, with_tiles=False, impl="xla"
+    )
+    specs = serving.extra_specs_for(cfg)
+    bat = serving.DynamicBatcher(
+        fused, h_in=5, extra_specs=specs, max_batch=4, max_wait_ms=1.0
+    )
+    rng = np.random.default_rng(7)
+    past = random_past(rng)
+    peers = rng.normal(size=(2, 4, 3)).astype(np.float32)
+    try:
+        res = bat.predict(past, other_future=peers)
+        ref = xla(
+            {
+                "past": jnp.asarray(past)[None],
+                "other_future": jnp.asarray(peers)[None],
+                "other_mask": jnp.ones((1, 2)),
+            }
+        )
+        np.testing.assert_allclose(
+            res["yaw"], np.asarray(ref["yaw"])[0], atol=1e-4
+        )
+        np.testing.assert_allclose(
+            res["pitch"], np.asarray(ref["pitch"])[0], atol=1e-4
+        )
+    finally:
+        bat.stop()
