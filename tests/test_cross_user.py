@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from longterm360fov_tpu import data as D
 from longterm360fov_tpu import evaluate as E
@@ -67,6 +68,7 @@ def test_mask_ignores_absent_peers():
     np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-6)
 
 
+@pytest.mark.slow  # convergence integration: full tier (peer_align train test stays fast)
 def test_cross_user_trains_and_beats_no_context():
     """On correlated synthetic viewers, peers' futures must help."""
     store = traces.synthetic_store(n_users=5, n_videos=1, n_frames=500, seed=3)

@@ -169,6 +169,7 @@ def test_train_loop_fused_impl():
     assert np.isfinite(hist[-1]["loss"])
 
 
+@pytest.mark.slow  # bf16 residual tier (non-default); bf16-compute test stays fast
 def test_apply_fused_tf_bf16_residuals_close():
     """Default bf16 residual streams: values close, grads close in a
     relative sense (residuals are bandwidth optimization, not math)."""

@@ -78,6 +78,7 @@ def test_indivisible_batch_raises():
         sharded(_batch(cfg, 12))
 
 
+@pytest.mark.slow  # 8-device mesh class; cross_user invariance stays fast
 def test_sharding_invariance_transformer_windowed():
     """The adopted transformer-10s recipe (windowed peers) serves
     sharding-invariantly through the fused route on the 8-device mesh."""

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from longterm360fov_tpu import data as D
 from longterm360fov_tpu import traces, train
@@ -89,6 +90,7 @@ def test_peers_change_output():
     assert not np.allclose(np.asarray(y1), np.asarray(y0))
 
 
+@pytest.mark.slow  # convergence integration: full tier (make test-all)
 def test_transformer_trains():
     store = traces.TraceStore()
     store.add(traces.synthetic_trace(11, n_frames=300))

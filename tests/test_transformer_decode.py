@@ -20,9 +20,16 @@ def _setup(layers=2, h_in=6, h_out=7, b=8, seed=0):
     return cfg, params, past
 
 
-@pytest.mark.parametrize("batched_heads", [False, True])
+# fast-tier budget: one 1-layer and one stacked shape stay fast; the
+# batched_heads=True variant (measured-neutral, non-default flag) and the
+# third shape run in the full tier (make test-all)
 @pytest.mark.parametrize(
-    "layers,h_in,h_out,b", [(1, 4, 3, 8), (2, 6, 7, 8), (2, 5, 9, 16)]
+    "batched_heads", [False, pytest.param(True, marks=pytest.mark.slow)]
+)
+@pytest.mark.parametrize(
+    "layers,h_in,h_out,b",
+    [(1, 4, 3, 8), (2, 6, 7, 8),
+     pytest.param(2, 5, 9, 16, marks=pytest.mark.slow)],
 )
 def test_fused_ar_decode_parity(layers, h_in, h_out, b, batched_heads):
     cfg, params, past = _setup(layers, h_in, h_out, b, seed=layers)
@@ -48,6 +55,7 @@ def test_fused_ar_decode_batch_tiling():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
 
 
+@pytest.mark.slow
 def test_fused_ar_decode_bf16_close():
     """bf16 caches/weights drift but must stay close on short horizons
     (same contract as the LSTM fused_serve bf16 tier)."""
@@ -79,9 +87,13 @@ def test_transformer_serve_fused_family_entry():
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(ref_p), atol=3e-5)
 
 
+# fast tier keeps the resident tier and the streamed+chunked tier (the
+# two shipping paths); batched_heads / chunk-without-stream are full-tier
 @pytest.mark.parametrize(
     "batched_heads,peer_chunk,peer_stream",
-    [(False, 0, False), (True, 0, False), (False, 16, False),
+    [(False, 0, False),
+     pytest.param(True, 0, False, marks=pytest.mark.slow),
+     pytest.param(False, 16, False, marks=pytest.mark.slow),
      (False, 16, True)],
 )
 def test_fused_peer_attention_parity_masked(
@@ -169,6 +181,7 @@ def test_transformer_fused_predict_fn():
     )
 
 
+@pytest.mark.slow
 def test_peer_pool_mean_parity_and_semantics():
     """peer_pool='mean': fused kernel == XLA apply on the pooled track;
     identical peers pool to the same tokens as a single peer; an
@@ -216,6 +229,7 @@ def test_peer_pool_mean_parity_and_semantics():
     )
 
 
+@pytest.mark.slow
 def test_fused_ar_decode_attend_bf16_close():
     """attend_bf16 (bf16 multiplies, f32 accumulation) stays within the
     bf16-tier tolerance of the exact decode, peers included."""
@@ -236,7 +250,13 @@ def test_fused_ar_decode_attend_bf16_close():
     assert float(jnp.abs(out - ref).max()) < 0.08
 
 
-@pytest.mark.parametrize("w,pool", [(2, "none"), (3, "mean")])
+# fast tier runs the pooled-window combo; the unpooled window (the
+# heaviest interpret-mode attend) is full-tier — its kernel path is also
+# covered on real TPU by scripts/tpu_smoke.py's windowed check
+@pytest.mark.parametrize(
+    "w,pool",
+    [pytest.param(2, "none", marks=pytest.mark.slow), (3, "mean")],
+)
 def test_peer_window_parity_and_effect(w, pool):
     """Windowed peer attention (cfg.peer_window > 0): fused kernel ==
     XLA masked path for full AND pooled tracks; windowing provably
@@ -328,8 +348,16 @@ def _grouped_setup(w=0, pool="none", seed=11, g=2, rows_per_group=128,
     return cfg, params, past, gfut, gmask, gid
 
 
-@pytest.mark.parametrize("w,pool", [(0, "none"), (2, "none"), (0, "mean"),
-                                    (2, "mean")])
+# fast tier runs window+pool (the richest combo); plain shared parity is
+# also covered fast by test_peer_shared_matches_per_row_tier and the
+# group_pack end-to-end test
+@pytest.mark.parametrize(
+    "w,pool",
+    [pytest.param(0, "none", marks=pytest.mark.slow),
+     pytest.param(2, "none", marks=pytest.mark.slow),
+     pytest.param(0, "mean", marks=pytest.mark.slow),
+     (2, "mean")],
+)
 def test_peer_shared_parity(w, pool):
     """Shared-KV decode == XLA decode on per-row-expanded peers, for
     plain/windowed and pooled/unpooled peer tracks."""
@@ -375,6 +403,7 @@ def test_peer_shared_matches_per_row_tier():
     )
 
 
+@pytest.mark.slow
 def test_serve_fused_grouped_entry():
     """models.transformer.serve_fused grouped kwargs route the shared
     tier and match the per-row serve_fused output."""

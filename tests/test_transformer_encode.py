@@ -23,7 +23,8 @@ def _setup(layers=2, h_in=6, b=8, seed=0):
 
 @pytest.mark.parametrize(
     "layers,h_in,b",
-    [(1, 4, 8), (2, 6, 8), (2, 10, 16), (3, 30, 8)],
+    [(1, 4, 8), (2, 6, 8), (2, 10, 16),
+     pytest.param(3, 30, 8, marks=pytest.mark.slow)],
 )
 def test_fused_encode_parity(layers, h_in, b):
     cfg, params, past = _setup(layers, h_in, b, seed=layers)
