@@ -272,11 +272,27 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     it.add_argument("--rate", type=float, default=10.0, help="resample Hz")
 
-    # --peer-align changes what cross_user params MEAN (it is part of
-    # the model hash), so every subcommand that loads a checkpoint must
-    # be able to declare it — not just train (found by /verify: eval of
-    # an align-trained checkpoint had no way to match the model hash).
-    for cp in (ev, sb, pr, sv, st, sd, ex):
+    # --peer-align / --h-in / --h-out change what the params MEAN (all
+    # three are part of the model hash), so every subcommand that loads
+    # a checkpoint must be able to declare them — not just train (found
+    # by /verify: eval of an align-trained checkpoint had no way to
+    # match the model hash). On train they select the architecture
+    # (e.g. the 100-frame quality recipe: train --preset
+    # stacked-ss-crossuser --h-in 100 --h-out 100 --peer-align).
+    for cp in (tr, ev, sb, pr, sv, st, sd, ex):
+        cp.add_argument(
+            "--h-in", type=int, dest="model_h_in", metavar="T",
+            help="override the preset's input-window length (model "
+            "horizon, not the prepare-data window flag); part of the "
+            "model hash — must match between train and eval/serve",
+        )
+        cp.add_argument(
+            "--h-out", type=int, dest="model_h_out", metavar="T",
+            help="override the preset's prediction horizon; part of "
+            "the model hash — must match between train and eval/serve",
+        )
+        if cp is tr:
+            continue  # train already registers --peer-align above
         cp.add_argument(
             "--peer-align", action="store_true", dest="peer_align",
             help="cross_user family: the checkpoint was trained with "
@@ -289,12 +305,17 @@ def _build_parser() -> argparse.ArgumentParser:
 
 
 def _preset_cfg(args, **over):
-    """Preset + the model-mode overrides shared by the non-train
-    subcommands (currently just --peer-align)."""
+    """Preset + the model-shape overrides shared by every subcommand
+    that must reconstruct the trained architecture (--peer-align,
+    --h-in, --h-out — all part of the model hash)."""
     from .config import get_preset
 
     if getattr(args, "peer_align", False):
         over["model_peer_align"] = True
+    for k in ("model_h_in", "model_h_out"):
+        v = getattr(args, k, None)
+        if v is not None:
+            over[k] = v
     return get_preset(args.preset, **over)
 
 
@@ -391,6 +412,17 @@ def cmd_prepare_data(args):
         n_other_users=args.n_other_users,
         video_features=video_features,
     )
+    span = args.h_in + args.h_out
+    for split, d in (("train", train_d), ("test", test_d)):
+        if not d:
+            # e.g. 600-frame traces at h_in=h_out=100: the 20% test
+            # tail is 120 frames < the 200-frame window span
+            raise SystemExit(
+                f"zero {split} windows: every trace's {split} segment "
+                f"is shorter than h_in+h_out = {span} frames (traces "
+                f"are split 80/20 per trace). Use longer traces or a "
+                f"shorter horizon."
+            )
     D.save_packed(args.out, train_d)
     test_path = os.path.splitext(args.out)[0] + "_test.npz"
     D.save_packed(test_path, test_d)
@@ -402,7 +434,6 @@ def cmd_prepare_data(args):
 
 def cmd_train(args):
     from . import train as TR
-    from .config import get_preset
     from .models import get_family
 
     over = {}
@@ -415,9 +446,7 @@ def cmd_train(args):
         over["data_parallel"] = True
     if args.bf16:
         over["model_param_dtype"] = "bfloat16"
-    if getattr(args, "peer_align", False):
-        over["model_peer_align"] = True
-    cfg = get_preset(args.preset, **over)
+    cfg = _preset_cfg(args, **over)  # + --peer-align/--h-in/--h-out
     fam = get_family(cfg.model_family)
     sp_mesh = None
     if args.seq_parallel:
