@@ -291,6 +291,13 @@ def _build_parser() -> argparse.ArgumentParser:
             help="override the preset's prediction horizon; part of "
             "the model hash — must match between train and eval/serve",
         )
+        if cp not in (pr, st):  # predict/stream-sim define --peers
+            cp.add_argument(
+                "--peers", type=int, default=-1,
+                help="cross-viewer context size K the model was/is "
+                "trained with (part of the model hash); -1 = the "
+                "preset's K",
+            )
         if cp is tr:
             continue  # train already registers --peer-align above
         cp.add_argument(
@@ -316,6 +323,12 @@ def _preset_cfg(args, **over):
         v = getattr(args, k, None)
         if v is not None:
             over[k] = v
+    # K > 0 declares the TRAINED peer-context size (model hash);
+    # --peers 0 keeps its inference-time meaning on predict/stream-sim
+    # (send no peer data to a peer-trained model) without zeroing the
+    # hash, so those checkpoints still load.
+    if getattr(args, "peers", -1) > 0:
+        over["n_other_users"] = args.peers
     return get_preset(args.preset, **over)
 
 
