@@ -62,6 +62,12 @@ def main():
         # windowed peer attention, which won at this horizon in r3)
         ("stacked-ss-crossuser-100-align", "stacked-ss-crossuser", 100,
          True, {"model_peer_align": True}),
+        # r4 follow-up: K=7 = every other viewer of the video. Static
+        # pooled K=7 was neutral at 30f (RESULTS.md r2 sweep); under
+        # time ALIGNMENT each extra peer adds a full per-step signal,
+        # and 100f is where context staleness dominates.
+        ("stacked-ss-crossuser-100-align-k7", "stacked-ss-crossuser", 100,
+         True, {"model_peer_align": True, "n_other_users": 7}),
     ]
     only = set(args.only.split(",")) if args.only else None
     seeds = [int(s) for s in args.seeds.split(",")]
@@ -69,12 +75,11 @@ def main():
     # windows per h_in arm (h_out fixed at 100); peers ride the same split
     window_cache = {}
 
-    def get_windows(h_in, with_peers):
-        key = (h_in, with_peers)
+    def get_windows(h_in, n_peers):
+        key = (h_in, n_peers)
         if key not in window_cache:
             trd, ted = D.windows_from_store(
-                store, h_in, 100, train_frac=0.8,
-                n_other_users=4 if with_peers else 0,
+                store, h_in, 100, train_frac=0.8, n_other_users=n_peers,
             )
             window_cache[key] = (trd, ted)
         return window_cache[key]
@@ -93,7 +98,10 @@ def main():
                 **over,
             )
             fam = get_family(cfg.model_family)
-            trd, ted = get_windows(h_in, with_peers)
+            trd, ted = get_windows(
+                h_in,
+                over.get("n_other_users", 4) if with_peers else 0,
+            )
             if cfg.batch_size > len(trd["past"]):
                 cfg = cfg.replace(batch_size=len(trd["past"]))
             extras = getattr(fam, "batch_extras", None)
