@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--h-out", type=int, default=None,
                     help="override horizon (e.g. 100 for the quality "
                     "recipe's namesake horizon)")
+    ap.add_argument("--peers", type=int, default=None,
+                    help="override K (e.g. 7 = the RESULTS.md r4 "
+                    "best-quality recipe)")
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--rounds", type=int, default=2)
     ap.add_argument("--cpu", action="store_true")
@@ -60,7 +63,10 @@ def main():
     if not args.cpu:
         assert jax.default_backend() == "tpu", "perf A/B needs the TPU"
 
-    base = get_preset(args.preset, model_peer_align=True)
+    over = {}
+    if args.peers is not None:
+        over["n_other_users"] = args.peers
+    base = get_preset(args.preset, model_peer_align=True, **over)
     mcfg = base.model
     if args.h_out is not None:
         mcfg = dataclasses.replace(mcfg, h_out=args.h_out)
