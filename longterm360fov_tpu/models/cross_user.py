@@ -267,10 +267,14 @@ def serve_fused(
         # step t, never materialized as a (B, T, C) tensor. Falls back
         # to the XLA AR decode when the peer windows don't span h_out
         # (the kernel's lockstep contract).
+        from ..ops.fused_lstm import aligned_serve_fits
         from ..ops.fused_lstm import fused_serve as _fused_serve
 
         b, k = other_future_n.shape[:2]
-        if other_future_n.shape[2] == cfg.h_out:
+        if other_future_n.shape[2] == cfg.h_out and aligned_serve_fits(
+            cfg.layers, cfg.d, cfg.hidden, cfg.ctx_dim,
+            past_n.shape[1], cfg.h_out, k,
+        ):
             if other_mask is None:
                 w = jnp.full((b, k), 1.0 / k, jnp.float32)
             else:

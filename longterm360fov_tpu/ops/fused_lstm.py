@@ -437,6 +437,41 @@ def _serve_kernel(
     lax.fori_loop(0, t_out, dec_step, 0)
 
 
+_SERVE_ROW_BUDGET = 10 * 1024 * 1024  # bytes of per-row streams/scratch
+
+
+def _serve_words(n_layers, d, hidden, ctx_dim, t_in, t_out, n_peers=0):
+    """Per-row f32 words of the serve kernel's resident blocks —
+    double-buffered in/out streams, ctx block, packed [x,(ctx,)h]
+    scratch per layer (lane-padded to 128), the ctx decoder z0d, the
+    per-layer cell states, and (lockstep tier) the peer window streams
+    + packed/cell peer scratches."""
+    words = 2 * d * t_in + 2 * d * t_out + ctx_dim + n_layers * hidden
+    for l in range(n_layers):
+        words += _round_up((d if l == 0 else hidden) + hidden, 128)
+    if ctx_dim:
+        words += _round_up(d + ctx_dim + hidden, 128)
+    if n_peers:
+        words += 2 * n_peers * d * t_out + _round_up(n_peers, 128)
+        words += n_peers * (_round_up(d + ctx_dim, 128) + ctx_dim)
+    return words
+
+
+def aligned_serve_fits(n_layers, d, hidden, ctx_dim, t_in, t_out,
+                       n_peers) -> bool:
+    """Can the lockstep-peer tier run at the minimum 128-row tile
+    within the scoped-vmem row budget? The tile picker floors at 128
+    rows (normal configs always fit), so an extreme K*t_out would
+    otherwise compile over budget instead of falling back — callers
+    (models.cross_user.serve_fused) route to the XLA aligned decode
+    when this is False. The shipping recipe (K=7, t_out=100) uses
+    ~36 KB/row of the 10 MB budget — the guard only fires ~100× past
+    any measured config."""
+    words = _serve_words(n_layers, d, hidden, ctx_dim, t_in, t_out,
+                         n_peers)
+    return 128 * 4 * words <= _SERVE_ROW_BUDGET
+
+
 def fused_serve(
     enc_params: Sequence[LSTMParams],
     dec_params: Sequence[LSTMParams],
@@ -496,16 +531,9 @@ def fused_serve(
     # stays at the sweep-tested 2048; ctx/stacked variants shrink so the
     # scoped-vmem stack stays under the 16 MB limit (a 2048-row ctx tile
     # measured 17.47 MB and OOMed at compile — bench_matrix r2).
-    words = 2 * d * t_in + 2 * d * t_out + ctx_dim + n_layers * hidden
-    for l in range(n_layers):
-        words += _round_up((d if l == 0 else hidden) + hidden, 128)
-    if ctx_dim:
-        words += _round_up(d + ctx_dim + hidden, 128)
-    if n_peers:
-        # peer window stream + mask lanes + packed/cell peer scratches
-        words += 2 * n_peers * d * t_out + _round_up(n_peers, 128)
-        words += n_peers * (_round_up(d + ctx_dim, 128) + ctx_dim)
-    rows = max((10 * 1024 * 1024 // (4 * words)) // 128 * 128, 128)
+    words = _serve_words(n_layers, d, hidden, ctx_dim, t_in, t_out,
+                         n_peers)
+    rows = max((_SERVE_ROW_BUDGET // (4 * words)) // 128 * 128, 128)
     tile_b = _pick_tile(batch, min(tile_b, rows))
     grid = (batch // tile_b,)
 

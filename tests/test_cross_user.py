@@ -278,3 +278,39 @@ def test_aligned_serve_bf16_tier_and_fallback():
                         other_mask=mask)
     ar = CU.apply(params, cfg, past, other_future_n=short, other_mask=mask)
     np.testing.assert_allclose(np.asarray(sv), np.asarray(ar), atol=1e-6)
+
+
+def test_aligned_serve_over_budget_falls_back():
+    """An extreme K*t_out past the lockstep tier's 128-row VMEM budget
+    must route to the exact XLA aligned decode instead of compiling an
+    over-budget kernel (ops/fused_lstm.aligned_serve_fits)."""
+    from longterm360fov_tpu.ops.fused_lstm import aligned_serve_fits
+
+    assert aligned_serve_fits(2, 3, 128, 128, 30, 100, 7)  # the recipe
+    assert not aligned_serve_fits(2, 3, 128, 128, 30, 40000, 64)
+
+    cfg = Seq2SeqConfig(
+        d=3, hidden=8, layers=1, h_in=4, h_out=5, ctx_dim=8,
+        peer_align=True,
+    )
+    params = CU.init(jax.random.PRNGKey(6), cfg)
+    rng = np.random.default_rng(6)
+    past = jnp.asarray(rng.normal(size=(4, 4, 3)).astype(np.float32))
+    peers = jnp.asarray(
+        0.1 * rng.normal(size=(4, 2, 5, 3)).astype(np.float32)
+    )
+    import unittest.mock as mock
+
+    from longterm360fov_tpu.models import cross_user as CUM
+
+    with mock.patch.object(
+        CUM, "apply", wraps=CUM.apply
+    ) as spy, mock.patch(
+        "longterm360fov_tpu.ops.fused_lstm.aligned_serve_fits",
+        return_value=False,
+    ):
+        out = CU.serve_fused(params, cfg, past, other_future_n=peers)
+        assert spy.called  # took the XLA path
+    ref = CU.apply(params, cfg, past, other_future_n=peers)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-6)
