@@ -334,16 +334,21 @@ def _serve_kernel(
     z_s = [next(it) for _ in range(n_layers)]
     z0d = next(it) if ctx_dim else z_s[0]
     c_s = next(it)
-    zp_s = [next(it) for _ in range(n_peers)]
-    cp_s = next(it) if n_peers else None
+    # BATCHED peer state (r4 measured layout): ONE (K*tile_b, d+C)
+    # packed buffer and ONE (K*tile_b, C) cell buffer — peer k owns row
+    # block [k*tile_b, (k+1)*tile_b). All K peers share one weight
+    # matrix, so a single (K*tile_b, d+C) @ (d+C, 4C) MXU pass replaces
+    # K M=tile_b matmuls per step (K-fold fewer op issues, K-fold
+    # larger M per pass).
+    zp = next(it) if n_peers else None
+    cp = next(it) if n_peers else None
 
     for l in range(n_layers):
         z_s[l][:] = jnp.zeros_like(z_s[l])
     c_s[:] = jnp.zeros_like(c_s)
-    for k in range(n_peers):
-        zp_s[k][:] = jnp.zeros_like(zp_s[k])
     if n_peers:
-        cp_s[:] = jnp.zeros_like(cp_s)
+        zp[:] = jnp.zeros_like(zp)
+        cp[:] = jnp.zeros_like(cp)
 
     def cell(buf, l, in_l, w_refs, b_refs):
         # weights arrive pre-cast to compute_dtype (cast hoisted out of
@@ -363,12 +368,12 @@ def _serve_kernel(
         buf[:, in_l:] = h_new.astype(buf.dtype)
         return h_new
 
-    def peer_cell(k):
-        # one peer-encoder LSTM step (hidden width = ctx_dim); same
-        # packed-[x, h] single-matmul pattern as cell() but with its own
-        # weight/state refs — peers share ONE weight matrix across K
+    def peer_cells():
+        # one LSTM step for ALL K peers at once (hidden width =
+        # ctx_dim): same packed-[x, h] single-matmul pattern as cell()
+        # on the (K*tile_b)-row batched buffer
         gates = (
-            jnp.dot(zp_s[k][:], wp_ref[:],
+            jnp.dot(zp[:], wp_ref[:],
                     preferred_element_type=jnp.float32)
             + bp_ref[:]
         )
@@ -376,11 +381,11 @@ def _serve_kernel(
         f = jax.nn.sigmoid(gates[:, ctx_dim : 2 * ctx_dim])
         g = jnp.tanh(gates[:, 2 * ctx_dim : 3 * ctx_dim])
         o = jax.nn.sigmoid(gates[:, 3 * ctx_dim :])
-        c_new = f * cp_s[k] + i * g
+        c_new = f * cp[:] + i * g
         h_new = o * jnp.tanh(c_new)
-        cp_s[k] = c_new
-        zp_s[k][:, d:] = h_new.astype(zp_s[k].dtype)
-        return h_new
+        cp[:] = c_new
+        zp[:, d:] = h_new.astype(zp.dtype)
+        return h_new  # (K*tile_b, ctx_dim)
 
     def enc_step(t, _):
         x_t = xs_ref[:, pl.ds(t, 1), :][:, 0, :].T  # (tile_b, d)
@@ -407,16 +412,22 @@ def _serve_kernel(
 
     def dec_step(t, _):
         if n_peers:
-            # advance the K peer encoders one step; their mask-weighted
-            # mean hidden state is THIS step's decoder context
-            ctx_t = jnp.zeros((tile_b, ctx_dim), jnp.float32)
+            # advance the K peer encoders one batched step; their
+            # mask-weighted mean hidden state is THIS step's context
             for k in range(n_peers):
                 x_kt = pxs_ref[
                     k * d : (k + 1) * d, pl.ds(t, 1), :
                 ][:, 0, :].T  # (tile_b, d)
-                zp_s[k][:, :d] = x_kt.astype(zp_s[k].dtype)
-                h_k = peer_cell(k)
-                ctx_t = ctx_t + h_k * pwt_ref[:, k : k + 1]
+                zp[k * tile_b : (k + 1) * tile_b, :d] = x_kt.astype(
+                    zp.dtype
+                )
+            h = peer_cells()
+            ctx_t = jnp.zeros((tile_b, ctx_dim), jnp.float32)
+            for k in range(n_peers):
+                ctx_t = ctx_t + (
+                    h[k * tile_b : (k + 1) * tile_b]
+                    * pwt_ref[:, k : k + 1]
+                )
             z0d[:, d:dec_in0] = ctx_t.astype(z0d.dtype)
         inp = None
         for l in range(n_layers):
@@ -623,11 +634,13 @@ def fused_serve(
             pltpu.VMEM((tile_b, d + ctx_dim + hidden), z_dtype)
         )
     scratch.append(pltpu.VMEM((n_layers, tile_b, hidden), jnp.float32))
-    for _ in range(n_peers):
-        scratch.append(pltpu.VMEM((tile_b, d + ctx_dim), z_dtype))
     if n_peers:
+        # batched peer buffers: peer k owns rows [k*tile_b,(k+1)*tile_b)
         scratch.append(
-            pltpu.VMEM((n_peers, tile_b, ctx_dim), jnp.float32)
+            pltpu.VMEM((n_peers * tile_b, d + ctx_dim), z_dtype)
+        )
+        scratch.append(
+            pltpu.VMEM((n_peers * tile_b, ctx_dim), jnp.float32)
         )
 
     ys = pl.pallas_call(
