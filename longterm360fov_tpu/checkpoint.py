@@ -97,7 +97,14 @@ class Checkpointer:
     def check_model_config(self) -> bool:
         """True when the on-disk MODEL hash matches — i.e. the params in
         this directory mean what this experiment's architecture expects.
-        Missing key (pre-model_hash checkpoints) passes."""
+        Missing key (pre-model_hash checkpoints) passes. Checkpoints
+        written before r4 hashed n_other_users too (it was dropped —
+        params are K-agnostic); their legacy hash is accepted when the
+        current config's K matches what they were trained with."""
         meta = self._meta()
         saved = meta.get("model_hash")
-        return saved is None or saved == self.cfg.model_hash()
+        if saved is None or saved == self.cfg.model_hash():
+            return True
+        return saved == self.cfg.model_hash(
+            _legacy_peers=self.cfg.n_other_users
+        )

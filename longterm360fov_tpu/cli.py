@@ -294,9 +294,9 @@ def _build_parser() -> argparse.ArgumentParser:
         if cp not in (pr, st):  # predict/stream-sim define --peers
             cp.add_argument(
                 "--peers", type=int, default=-1,
-                help="cross-viewer context size K the model was/is "
-                "trained with (part of the model hash); -1 = the "
-                "preset's K",
+                help="cross-viewer context size K for this run (e.g. "
+                "7 for the RESULTS.md 100-frame recipe; params are "
+                "K-agnostic); -1 = the preset's K",
             )
         if cp is tr:
             continue  # train already registers --peer-align above
@@ -323,11 +323,14 @@ def _preset_cfg(args, **over):
         v = getattr(args, k, None)
         if v is not None:
             over[k] = v
-    # K > 0 declares the TRAINED peer-context size (model hash);
-    # --peers 0 keeps its inference-time meaning on predict/stream-sim
-    # (send no peer data to a peer-trained model) without zeroing the
-    # hash, so those checkpoints still load.
-    if getattr(args, "peers", -1) > 0:
+    # --peers overrides the config's peer-context size K (a data/
+    # serving-schema knob — NOT part of the model hash, the params are
+    # K-agnostic). predict/stream-sim keep their own inference-time
+    # --peers semantics (how many peers to assemble per request, which
+    # may legitimately differ from the trained K).
+    if getattr(args, "cmd", None) not in ("predict", "stream-sim") and (
+        getattr(args, "peers", -1) >= 0
+    ):
         over["n_other_users"] = args.peers
     return get_preset(args.preset, **over)
 

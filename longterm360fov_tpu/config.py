@@ -70,18 +70,25 @@ class ExperimentConfig:
             json.dumps(d, sort_keys=True).encode()
         ).hexdigest()[:16]
 
-    def model_hash(self) -> str:
+    def model_hash(self, *, _legacy_peers=None) -> str:
         """Hash of the fields that define what the checkpointed params
-        MEAN (architecture + family + peer-context size). Training
-        hyperparameters (lr, steps, ...) are deliberately excluded so a
-        checkpoint trained with CLI overrides still evaluates under the
-        bare preset; a mismatch here means the params would be silently
-        misinterpreted."""
+        MEAN (architecture + family). Training hyperparameters (lr,
+        steps, ...) are deliberately excluded so a checkpoint trained
+        with CLI overrides still evaluates under the bare preset; a
+        mismatch here means the params would be silently
+        misinterpreted. n_other_users is also excluded (r4): the peer
+        encoder is shared across K and the pool is mask-gated, so the
+        SAME params serve any inference-time peer count — K is a
+        data/serving-schema knob (--peers), not an architecture field.
+        ``_legacy_peers`` reproduces the pre-r4 hash (which included
+        n_other_users) so checkpoints written then still load
+        (checkpoint.check_model_config)."""
         d = {
             "model": dataclasses.asdict(self.model),
             "model_family": self.model_family,
-            "n_other_users": self.n_other_users,
         }
+        if _legacy_peers is not None:
+            d["n_other_users"] = _legacy_peers
         return hashlib.sha256(
             json.dumps(d, sort_keys=True, default=str).encode()
         ).hexdigest()[:16]

@@ -301,7 +301,9 @@ def _serve_kernel(
     scratch: z_l (B, in_l+H) x L   packed [x_or_y, h] per layer,
              [z0d (B, d+C+H)]      decoder layer-0 buffer when ctx,
              c   (L, B, H)         cell states (f32),
-             [zp_k (B, D+C) x K, cp (K, B, C)] peer packed/cell states
+             [zp (K*B, D+C), cp (K*B, C)] batched peer packed/cell
+                                   states (peer k owns row block
+                                   [k*B, (k+1)*B)) when n_peers
 
     One fused matmul per layer per step: gates = z_l @ W_l. The packed
     z buffer holds the step input in its first in_l lanes and the

@@ -124,7 +124,11 @@ def main():
           flush=True)
 
     def timed(run, n):
-        run()  # sync point
+        # difference method: BLOCK on the warmup via a data-dependent
+        # scalar fetch before starting the clock (an unfetched warmup
+        # is still executing when t1 is taken — async dispatch — which
+        # inflated per-iter times (n+1)/n; ADVICE-style review fix r4)
+        float(run()[0, 0, 0])
         t1 = time.time()
         for _ in range(n):
             out = run()

@@ -99,8 +99,7 @@ def main():
             )
             fam = get_family(cfg.model_family)
             trd, ted = get_windows(
-                h_in,
-                over.get("n_other_users", 4) if with_peers else 0,
+                h_in, cfg.n_other_users if with_peers else 0
             )
             if cfg.batch_size > len(trd["past"]):
                 cfg = cfg.replace(batch_size=len(trd["past"]))
