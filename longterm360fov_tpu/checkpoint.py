@@ -105,6 +105,11 @@ class Checkpointer:
         saved = meta.get("model_hash")
         if saved is None or saved == self.cfg.model_hash():
             return True
+        # Legacy acceptance only makes sense for configs a pre-r4
+        # checkpoint could actually have been trained as: peer_align
+        # postdates that era, so an aligned config must match exactly.
+        if getattr(self.cfg.model, "peer_align", False):
+            return False
         return saved == self.cfg.model_hash(
             _legacy_peers=self.cfg.n_other_users
         )

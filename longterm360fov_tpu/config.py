@@ -17,6 +17,13 @@ from .models.seq2seq import Seq2SeqConfig
 
 __all__ = ["ExperimentConfig", "PRESETS", "get_preset"]
 
+# Seq2SeqConfig fields added AFTER the last checkpoint era that hashed
+# n_other_users (pre-r4). model_hash(_legacy_peers=...) pops these to
+# reproduce the exact dict shape those checkpoints hashed. Append-only:
+# any new model field added while legacy checkpoints remain in use
+# belongs here too.
+_POST_LEGACY_MODEL_FIELDS = ("peer_align",)
+
 
 @dataclasses.dataclass(frozen=True)
 class ExperimentConfig:
@@ -81,13 +88,19 @@ class ExperimentConfig:
         SAME params serve any inference-time peer count — K is a
         data/serving-schema knob (--peers), not an architecture field.
         ``_legacy_peers`` reproduces the pre-r4 hash (which included
-        n_other_users) so checkpoints written then still load
-        (checkpoint.check_model_config)."""
+        n_other_users, and predates every field in
+        ``_POST_LEGACY_MODEL_FIELDS``) so checkpoints written then
+        still load (checkpoint.check_model_config)."""
         d = {
             "model": dataclasses.asdict(self.model),
             "model_family": self.model_family,
         }
         if _legacy_peers is not None:
+            # The pre-r4 dict shape: model fields added since then did
+            # not exist, so they must be absent from the hashed dict —
+            # not merely default-valued (ADVICE r4 high).
+            for f in _POST_LEGACY_MODEL_FIELDS:
+                d["model"].pop(f, None)
             d["n_other_users"] = _legacy_peers
         return hashlib.sha256(
             json.dumps(d, sort_keys=True, default=str).encode()

@@ -265,13 +265,24 @@ def serve_fused(
         # the serve kernel in lockstep with the decoder — step t's
         # context is the mask-weighted mean of the peer hidden states at
         # step t, never materialized as a (B, T, C) tensor. Falls back
-        # to the XLA AR decode when the peer windows don't span h_out
-        # (the kernel's lockstep contract).
+        # to the XLA AR decode only for over-VMEM-budget configs; a
+        # peer window that doesn't span h_out is a caller error — the
+        # XLA aligned decode's horizon is the peer span, so "falling
+        # back" would silently shorten the served trajectory (ADVICE
+        # r4 low).
         from ..ops.fused_lstm import aligned_serve_fits
         from ..ops.fused_lstm import fused_serve as _fused_serve
 
         b, k = other_future_n.shape[:2]
-        if other_future_n.shape[2] == cfg.h_out and aligned_serve_fits(
+        if other_future_n.shape[2] != cfg.h_out:
+            raise ValueError(
+                f"peer_align serving requires peer windows spanning the "
+                f"full horizon: got span {other_future_n.shape[2]} != "
+                f"h_out {cfg.h_out}. Pad short peer windows by holding "
+                f"the peer's last frame (serving.PeerPool does this) or "
+                f"serve with cfg.peer_align=False."
+            )
+        if aligned_serve_fits(
             cfg.layers, cfg.d, cfg.hidden, cfg.ctx_dim,
             past_n.shape[1], cfg.h_out, k,
         ):

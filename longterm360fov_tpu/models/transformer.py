@@ -33,6 +33,7 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from .seq2seq import Seq2SeqConfig
@@ -584,6 +585,24 @@ def serve_fused(
                 tile_b=tile_b, compute_dtype=compute_dtype,
                 fused_encoder=fused_encoder,
             )
+        # The kernel takes each tile's group id from tile row 0
+        # (ops/transformer_decode.py gid_tiles), so every tile_b-row
+        # tile MUST be group-pure — serving.group_pack guarantees this
+        # only when packed with the SAME tile_b as this decode. Rows
+        # packed with a different tile size (or unsorted) would
+        # silently attend the wrong group's peer K/V (ADVICE r4
+        # medium); validate host-side when the gid is concrete.
+        if not isinstance(peer_gid, jax.core.Tracer):
+            gid_h = np.asarray(peer_gid)
+            for t0 in range(0, gid_h.shape[0], tile_b):
+                tile = gid_h[t0 : t0 + tile_b]
+                if not (tile == tile[0]).all():
+                    raise ValueError(
+                        f"peer_gid tile starting at row {t0} mixes groups "
+                        f"{sorted(set(tile.tolist()))}: the shared-peer tier "
+                        f"requires group-pure {tile_b}-row tiles — pack the "
+                        f"batch with serving.group_pack(keys, tile_b={tile_b})"
+                    )
         # G-row peer-token encode (B→G dedup of the embedding too)
         peer_gmem, peer_gvalid = _peer_tokens(
             params, cfg, group_future_n, group_mask

@@ -244,11 +244,6 @@ def _make_math(t_in: int, t_pad: int, tile_b: int, hidden: int):
         ln_bwd=ln_bwd, attend=attend, attend_bwd=attend_bwd,
     )
 
-    return SimpleNamespace(
-        mm=mm, mm_t=mm_t, outer=outer, rsum=rsum, ln_f=ln_f,
-        ln_bwd=ln_bwd, attend=attend, attend_bwd=attend_bwd,
-    )
-
 
 def _fwd_stash_kernel(
     *refs, n_layers: int, t_in: int, t_pad: int, hidden: int, d: int,

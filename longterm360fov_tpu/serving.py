@@ -738,6 +738,12 @@ def group_pack(group_keys, tile_b: int = 128):
     """Arrange batch rows into group-pure ``tile_b`` tiles for the
     shared-peer decode tier (ops.transformer_decode peer_gmem path).
 
+    ``tile_b`` MUST equal the decode kernel's batch tile (the
+    ``tile_b`` passed to ``transformer.serve_fused``, default 128):
+    the kernel reads each tile's group id from its first row, so a
+    mismatched pack silently mixes groups within a tile
+    (``serve_fused`` validates this when the gid is concrete).
+
     ``group_keys``: length-B sequence of hashable keys (e.g. video
     ids) — rows with equal keys share one peer set. Returns
     ``(perm, gid, inv, uniq)``:

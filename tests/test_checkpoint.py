@@ -74,3 +74,52 @@ def test_best_by_metric_retention(tmp_path):
     # keep=1 with best_fn: the surviving checkpoint is the best (step 2)
     assert ckpt.best_step() == 2
     assert ckpt.manager.all_steps() == [2]
+
+
+def _pre_r4_model_hash(cfg):
+    """Hash exactly as the pre-r4 code did: asdict(model) BEFORE the
+    peer_align field existed, plus n_other_users at top level (ADVICE
+    r4 high: the legacy shim must reproduce this dict shape, not just
+    re-add n_other_users)."""
+    import dataclasses as _dc
+    import hashlib as _hl
+    import json as _js
+
+    model = _dc.asdict(cfg.model)
+    model.pop("peer_align")  # field did not exist pre-r4
+    d = {
+        "model": model,
+        "model_family": cfg.model_family,
+        "n_other_users": cfg.n_other_users,
+    }
+    return _hl.sha256(
+        _js.dumps(d, sort_keys=True, default=str).encode()
+    ).hexdigest()[:16]
+
+
+def test_legacy_model_hash_matches_pre_r4_dict():
+    cfg = _small_cfg()
+    legacy = cfg.model_hash(_legacy_peers=cfg.n_other_users)
+    assert legacy == _pre_r4_model_hash(cfg)
+    # and it differs from the current hash (peer_align now in the dict)
+    assert legacy != cfg.model_hash()
+
+
+def test_check_model_config_accepts_pre_r4_checkpoint(tmp_path):
+    import json as _js
+
+    cfg = _small_cfg()
+    d = tmp_path / "ck"
+    ckpt = C.Checkpointer(str(d), cfg)
+    # overwrite the meta as a pre-r4 writer would have
+    with open(d / "config.json", "w") as f:
+        _js.dump(
+            {"name": cfg.name, "hash": "stale", "model_hash": _pre_r4_model_hash(cfg)},
+            f,
+        )
+    assert C.Checkpointer(str(d), cfg).check_model_config()
+    # an aligned config postdates that era: must NOT match legacy
+    import dataclasses as _dc
+
+    aligned = cfg.replace(model=_dc.replace(cfg.model, peer_align=True))
+    assert not C.Checkpointer(str(d), aligned).check_model_config()

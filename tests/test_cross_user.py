@@ -270,14 +270,13 @@ def test_aligned_serve_bf16_tier_and_fallback():
     assert f32.shape == b16.shape == (4, 6, 3)
     assert float(jnp.abs(b16 - f32).max()) < 0.1  # bf16 matmuls, f32 carry
 
-    # peer windows that don't span h_out: the kernel's lockstep contract
-    # fails → serve_fused falls back to the XLA aligned decode, whose
-    # horizon is the peer span (scan driven by the context sequence)
+    # peer windows that don't span h_out are a caller error (ADVICE r4
+    # low): the XLA aligned decode's horizon is the peer span, so a
+    # silent fallback would shorten the served trajectory
     short = peers[:, :, :4]
-    sv = CU.serve_fused(params, cfg, past, other_future_n=short,
-                        other_mask=mask)
-    ar = CU.apply(params, cfg, past, other_future_n=short, other_mask=mask)
-    np.testing.assert_allclose(np.asarray(sv), np.asarray(ar), atol=1e-6)
+    with pytest.raises(ValueError, match="span"):
+        CU.serve_fused(params, cfg, past, other_future_n=short,
+                       other_mask=mask)
 
 
 def test_aligned_serve_over_budget_falls_back():

@@ -421,3 +421,17 @@ def test_serve_fused_grouped_entry():
     np.testing.assert_allclose(
         np.asarray(out_g), np.asarray(out_r), atol=3e-5
     )
+
+
+def test_serve_fused_rejects_impure_gid_tiles():
+    """A gid vector not packed group-pure per 128-row tile must raise —
+    the kernel reads each tile's gid from row 0, so an impure tile
+    would silently attend the wrong group's peer K/V (ADVICE r4)."""
+    cfg, params, past, gfut, gmask, _ = _grouped_setup(seed=14)
+    b = past.shape[0]
+    bad_gid = jnp.asarray(np.arange(b, dtype=np.int32) % 2)  # interleaved
+    with pytest.raises(ValueError, match="group-pure"):
+        TR.serve_fused(
+            params, cfg, past, group_future_n=gfut, group_mask=gmask,
+            peer_gid=bad_gid, tile_b=128, compute_dtype=jnp.float32,
+        )
