@@ -509,6 +509,7 @@ def serve_fused(
     group_future_n: Optional[jax.Array] = None,
     group_mask: Optional[jax.Array] = None,
     peer_gid: Optional[jax.Array] = None,
+    peer_anchor: Optional[jax.Array] = None,
     tile_b: int = 128,
     compute_dtype=None,
     fused_encoder: bool = True,
@@ -550,6 +551,20 @@ def serve_fused(
     must be sorted so every 128-row tile is group-pure
     (serving.group_pack). Falls back to gathering per-row copies for
     the XLA path (bitwise-identical semantics).
+
+    ANCHOR-CORRECTED dedup (``peer_anchor`` (B, D), r5): the trained
+    conditioning anchors peers to each TARGET's last pose
+    (batch_extras: ``of - anchor``), which naively forbids group
+    sharing. But the peer-token pipeline is affine in the coordinates
+    (``of @ in_proj + pos`` — no layernorm) and attention is
+    shift-invariant in K while weights sum to 1 over V, so per-target
+    anchoring factorizes EXACTLY out of the shared K/V: pass the RAW
+    (unanchored) group sets plus each row's anchor, and the kernel
+    subtracts the rank-1 correction δv[l] = anchor @ in_proj @ wv[l]
+    from each layer's peer-attend output. Grouped serving then equals
+    the per-row anchored path bit-for-close (f32: ~1e-5) at
+    one-K/V-copy-per-group cost — the production wiring of the dedup
+    tier (VERDICT r4 next #1).
     """
     del context
     from ..ops.transformer_decode import (
@@ -575,9 +590,14 @@ def serve_fused(
             cfg, n_layers, kt, tile_b=tile_b, compute_dtype=compute_dtype,
         ):
             # expand to per-row copies and take the standard routing
+            # (anchoring applied per row here, matching what the δv
+            # correction does inside the shared kernel)
+            of_rows = jnp.take(group_future_n, peer_gid, axis=0)
+            if peer_anchor is not None:
+                of_rows = of_rows - peer_anchor[:, None, None, :]
             return serve_fused(
                 params, cfg, past_n,
-                other_future_n=jnp.take(group_future_n, peer_gid, axis=0),
+                other_future_n=of_rows,
                 other_mask=(
                     None if group_mask is None
                     else jnp.take(group_mask, peer_gid, axis=0)
@@ -619,10 +639,35 @@ def serve_fused(
             )
         else:
             enc_mem = _encode(params, cfg, past_n)
+        peer_dv = None
+        if peer_anchor is not None:
+            # δv[l] = anchor @ in_proj @ wv[l] — the per-row rank-1
+            # anchor correction the kernel subtracts from each layer's
+            # peer-attend output (see the ANCHOR-CORRECTED note above).
+            # Tiny f32 matmuls: (B,D)·(D,H) then L× (B,H)·(H,H).
+            e = jnp.dot(
+                peer_anchor.astype(jnp.float32),
+                jnp.asarray(params["in_proj"], jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            peer_dv = jnp.stack(
+                [
+                    jnp.dot(
+                        e,
+                        jnp.asarray(
+                            layer["peer_attn"]["wv"], jnp.float32
+                        ),
+                        preferred_element_type=jnp.float32,
+                    )
+                    for layer in params["dec"]
+                ],
+                axis=1,
+            )  # (B, L, H)
         return fused_ar_decode(
             params, cfg, enc_mem, past_n[:, -1, :].astype(cfg.dtype),
             peer_gmem=peer_gmem.astype(jnp.float32),
             peer_gvalid=peer_gvalid, peer_gid=peer_gid,
+            peer_dv=peer_dv,
             tile_b=tile_b, compute_dtype=compute_dtype,
         )
     # (bf16-casting the encoder/peer-token params measured NEUTRAL for

@@ -89,6 +89,7 @@ def _decode_kernel(
     peer_t_seg: int,
     n_peers: int,
     peer_shared: bool,
+    has_dv: bool,
 ):
     """refs layout:
     inputs (all vectors pre-transposed to column form (…, H, 1) so they
@@ -148,6 +149,12 @@ def _decode_kernel(
     else:
         peer_ref = next(it) if kt_pad else None
     pmask_ref = next(it) if kt_pad else None
+    # per-row anchor correction for the shared tier (r5): δv (L, H, B)
+    # f32, subtracted from each layer's peer-attend output — the exact
+    # factorization of per-target anchoring out of group-shared K/V
+    # (the peer-token pipeline is affine in the coordinates and softmax
+    # is shift-invariant, so anchored attend == shared attend − δv)
+    dv_ref = next(it) if (kt_pad and has_dv) else None
     y0_ref = next(it)
     attn_w = next(it)
     mlp_w1 = next(it)
@@ -673,6 +680,12 @@ def _decode_kernel(
                         lambda sl: peer_vs[l][sl, :, :],
                         None, t, causal=False, mask=pmask,
                     )
+                if has_dv:
+                    # attention weights sum to 1 over the valid set, so
+                    # the per-row anchor shift of V is a constant −δv on
+                    # the attend output (and the uniform K-shift already
+                    # vanished inside the softmax)
+                    attp = attp - dv_ref[l]
                 x = x + jnp.where(has_peer, mm(attn_w[l, 7], attp), 0.0)
             # -- mlp --
             h1 = jax.nn.gelu(
@@ -749,6 +762,7 @@ def fused_ar_decode(
     peer_gmem: jax.Array = None,  # (G, KT, H) GROUP-shared peer tokens
     peer_gvalid: jax.Array = None,  # (G, KT) bool
     peer_gid: jax.Array = None,  # (B,) int32 row → group (tile-pure!)
+    peer_dv: jax.Array = None,  # (B, L, H) f32 per-row δv anchor correction
     tile_b: int = 128,
     compute_dtype=jnp.bfloat16,
     batched_heads: bool = False,
@@ -782,6 +796,11 @@ def fused_ar_decode(
         assert peer_mem is None and not peer_stream, (
             "grouped peers replace per-row peers and never stream"
         )
+    if peer_dv is not None:
+        assert peer_gmem is not None, (
+            "peer_dv (anchor correction) only applies to the "
+            "group-shared tier — per-row tiers anchor their own tokens"
+        )
     b_orig = enc_mem.shape[0]
     if not _interpret() and b_orig % 128 != 0:
         # the per-tile HBM DMA needs a 128-aligned lane (batch) dim;
@@ -801,6 +820,10 @@ def fused_ar_decode(
         if peer_gid is not None:
             # padded viewers point at group 0; their rows are sliced off
             peer_gid = jnp.pad(peer_gid, (0, b_pad - b_orig))
+        if peer_dv is not None:
+            peer_dv = jnp.pad(
+                peer_dv, ((0, b_pad - b_orig), (0, 0), (0, 0))
+            )
     b, t_in, h = enc_mem.shape
     d = y0.shape[-1]
     t_out = cfg.h_out
@@ -971,6 +994,7 @@ def fused_ar_decode(
         peer_t_seg=peer_t_seg,
         n_peers=n_peers,
         peer_shared=peer_shared,
+        has_dv=peer_dv is not None,
     )
 
     def inv_spec(arr):  # grid-invariant whole-array VMEM block
@@ -1000,6 +1024,16 @@ def fused_ar_decode(
                          memory_space=pltpu.VMEM)
         )
         inputs.append(pmask)
+        if peer_dv is not None:
+            # (B, L, H) → (L, H, B) feature-major, lanes = batch like
+            # every other per-row tensor; ~L·H·tile_b·4 B of VMEM
+            in_specs.append(pl.BlockSpec(
+                (n_layers, h, tile_b), lambda i: (0, 0, i),
+                memory_space=pltpu.VMEM,
+            ))
+            inputs.append(
+                jnp.transpose(peer_dv.astype(jnp.float32), (1, 2, 0))
+            )
     in_specs.append(
         pl.BlockSpec((d, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM)
     )

@@ -51,6 +51,8 @@ import numpy as np
 __all__ = [
     "DynamicBatcher",
     "group_pack",
+    "grouped_predict",
+    "make_grouped_serve_fn",
     "ParamStore",
     "PeerPool",
     "ViewerSessions",
@@ -788,6 +790,176 @@ def group_pack(group_keys, tile_b: int = 128):
         inv,
         uniq,
     )
+
+
+def make_grouped_serve_fn(
+    params,
+    cfg,
+    fam,
+    *,
+    with_tiles: bool = True,
+    tile_rows: int = 6,
+    tile_cols: int = 12,
+    fov_deg: float = 90.0,
+    tile_b: int = 128,
+    param_store: Optional["ParamStore"] = None,
+    packed: bool = False,
+) -> Callable:
+    """GROUP-shared peer serving program (the production wiring of the
+    peer-dedup tier, VERDICT r4 next #1): one jitted function
+    ``(past, group_future, group_mask, gid) → {"yaw","pitch"
+    [,"prefetch"]}`` where peer K/V is projected ONCE per video group
+    instead of once per viewer.
+
+    Inputs are the :func:`group_pack` layout: ``past`` (B_packed, h_in,
+    3) raw xyz sorted group-pure per ``tile_b`` rows, ``group_future``
+    (G, K, h_out, 3) RAW (unanchored) shared peer sets in group order,
+    ``group_mask`` (G, K) validity, ``gid`` (B_packed,) row → group.
+    Per-target anchoring — the trained ``batch_extras`` semantics — is
+    applied exactly via the kernel's δv correction
+    (models.transformer.serve_fused ``peer_anchor``), so results match
+    the per-row serve path (CI parity test).
+
+    Same output/packing contract as :func:`make_serve_fn`; use
+    :func:`grouped_predict` for the host-side pack → serve → unsort
+    round trip."""
+    import jax
+    import jax.numpy as jnp
+
+    from . import geometry, infer, windows
+
+    serve_fused = getattr(fam, "serve_fused", None)
+    if cfg.model_family != "transformer" or serve_fused is None:
+        raise ValueError(
+            f"grouped (shared peer K/V) serving is a transformer-family "
+            f"tier; preset {cfg.name!r} is {cfg.model_family!r} — use "
+            f"make_serve_fn"
+        )
+
+    def serve(p, past, gfut, gmask, gid):
+        past_n, _, anchor = windows.normalize_window(past)
+        pred_n = serve_fused(
+            p, cfg.model, past_n,
+            group_future_n=gfut, group_mask=gmask, peer_gid=gid,
+            peer_anchor=anchor[:, 0], tile_b=tile_b,
+        )
+        xyz = windows.denormalize_window(pred_n, anchor, to_sphere=True)
+        yaw, pitch = geometry.xyz_to_euler(xyz)
+        out = {"yaw": yaw, "pitch": pitch}
+        if with_tiles:
+            mask = infer.tiles_for_fov(
+                xyz, tile_rows=tile_rows, tile_cols=tile_cols,
+                fov_deg=fov_deg,
+            )
+            out["prefetch"] = jnp.any(mask, axis=1)
+        if packed:
+            return jnp.concatenate(
+                [v.astype(jnp.float32) for v in out.values()], axis=-1
+            )
+        return out
+
+    jitted = jax.jit(serve)
+    store = param_store if param_store is not None else ParamStore(params)
+    fn = lambda past, gfut, gmask, gid: jitted(  # noqa: E731
+        store.params, past, gfut, gmask, gid
+    )
+    fn.tile_b = tile_b
+    if packed:
+        h_out = cfg.model.h_out
+        n_tiles = tile_rows * tile_cols if with_tiles else 0
+
+        def unpack(host: np.ndarray) -> Dict[str, np.ndarray]:
+            out = {
+                "yaw": host[..., :h_out],
+                "pitch": host[..., h_out : 2 * h_out],
+            }
+            if n_tiles:
+                out["prefetch"] = host[..., 2 * h_out :] > 0.5
+            return out
+
+        fn.unpack = unpack
+    return fn
+
+
+def grouped_predict(
+    fn: Callable,
+    pasts: np.ndarray,
+    group_keys,
+    group_sets: Dict,
+    group_masks: Optional[Dict] = None,
+) -> Dict[str, np.ndarray]:
+    """Host side of grouped serving: :func:`group_pack` the batch, pad
+    the packed rows and the group count up power-of-two bucket ladders
+    (so the jitted program compiles O(log B · log G) times per process,
+    same discipline as the DynamicBatcher's batch ladder — the
+    G-varies-per-batch recompile hazard from TODO.md r4), run ``fn``
+    (a :func:`make_grouped_serve_fn` program), and un-sort the outputs
+    to the caller's original row order.
+
+    ``pasts`` (N, h_in, 3) raw xyz; ``group_keys`` length-N hashables
+    (video ids); ``group_sets``: key → (K, h_out, 3) RAW shared peer
+    windows; ``group_masks``: key → (K,) validity (default: rows with
+    any nonzero frame are valid). Row padding replicates the last
+    packed row (tiles stay group-pure); group padding appends zero-mask
+    sets no row points at."""
+    import jax.numpy as jnp
+
+    pasts = np.ascontiguousarray(np.asarray(pasts, np.float32))
+    keys = list(group_keys)
+    if len(keys) != pasts.shape[0]:
+        raise ValueError(
+            f"{pasts.shape[0]} windows but {len(keys)} group keys"
+        )
+    tile_b = getattr(fn, "tile_b", 128)
+    perm, gid, inv, uniq = group_pack(keys, tile_b)
+    missing = [k for k in uniq if k not in group_sets]
+    if missing:
+        raise KeyError(f"group_sets missing peer sets for {missing}")
+    gfut = np.stack(
+        [np.asarray(group_sets[k], np.float32) for k in uniq]
+    )  # (G, K, T, 3)
+    if group_masks is None:
+        gmask = (np.abs(gfut).max(axis=(2, 3)) > 0).astype(np.float32)
+    else:
+        gmask = np.stack(
+            [np.asarray(group_masks[k], np.float32) for k in uniq]
+        )
+    past_p = pasts[perm]
+    # batch bucket ladder (padded rows extend the LAST group's segment,
+    # so every tile stays group-pure)
+    bp = past_p.shape[0]
+    bucket = tile_b
+    while bucket < bp:
+        bucket *= 2
+    if bucket > bp:
+        past_p = np.concatenate(
+            [past_p, np.broadcast_to(past_p[-1:], (bucket - bp,) + past_p.shape[1:])]
+        )
+        gid = np.concatenate(
+            [gid, np.full(bucket - bp, gid[-1], np.int32)]
+        )
+    # group bucket ladder (zero-mask pads; no row's gid reaches them)
+    g = gfut.shape[0]
+    gb = 1
+    while gb < g:
+        gb *= 2
+    if gb > g:
+        gfut = np.concatenate(
+            [gfut, np.zeros((gb - g,) + gfut.shape[1:], np.float32)]
+        )
+        gmask = np.concatenate(
+            [gmask, np.zeros((gb - g, gmask.shape[1]), np.float32)]
+        )
+    out = fn(
+        jnp.asarray(past_p), jnp.asarray(gfut), jnp.asarray(gmask),
+        jnp.asarray(gid),
+    )
+    unpack = getattr(fn, "unpack", None)
+    if unpack is not None:
+        host = unpack(np.asarray(out))
+    else:
+        host = {k: np.asarray(v) for k, v in out.items()}
+    return {k: v[inv] for k, v in host.items()}
 
 
 # --------------------------------------------------------------------------

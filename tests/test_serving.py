@@ -1048,3 +1048,80 @@ def test_peer_align_daemon_flow_fused():
         )
     finally:
         bat.stop()
+
+
+def test_grouped_predict_matches_per_row_serve_path():
+    """Production dedup wiring (VERDICT r4 next #1): the grouped serve
+    program (shared peer K/V + δv anchor correction) driven through
+    group_pack/grouped_predict returns the SAME predictions as the
+    per-row serve path (make_serve_fn + batch_extras anchoring) given
+    per-video shared peer sets — in the caller's original row order."""
+    from longterm360fov_tpu.models import get_family
+
+    cfg = ExperimentConfig(
+        name="tiny-transformer-grouped",
+        model=Seq2SeqConfig(d=3, hidden=128, layers=1, h_in=5, h_out=6),
+        model_family="transformer",
+        n_other_users=3,
+    )
+    fam = get_family("transformer")
+    params = fam.init(jax.random.PRNGKey(3), cfg.model)
+    rng = np.random.default_rng(3)
+    n, k = 7, 3
+    pasts = random_past(rng, n=n, h_in=5)
+    keys = ["v1", "v0", "v0", "v1", "v0", "v1", "v0"]
+    sets = {
+        v: rng.normal(size=(k, 6, 3)).astype(np.float32) * 0.1
+        for v in ("v0", "v1")
+    }
+    masks = {"v0": np.ones(k, np.float32),
+             "v1": np.array([1, 1, 0], np.float32)}
+
+    gfn = serving.make_grouped_serve_fn(
+        params, cfg, fam, with_tiles=True, tile_b=128
+    )
+    got = serving.grouped_predict(gfn, pasts, keys, sets, masks)
+
+    per_row = serving.make_serve_fn(
+        params, cfg, fam, with_tiles=True, impl="fused"
+    )
+    batch = {
+        "past": jnp.asarray(pasts),
+        "other_future": jnp.asarray(np.stack([sets[v] for v in keys])),
+        "other_mask": jnp.asarray(np.stack([masks[v] for v in keys])),
+    }
+    ref = {kk: np.asarray(vv) for kk, vv in per_row(batch).items()}
+    np.testing.assert_allclose(got["yaw"], ref["yaw"], atol=1e-4)
+    np.testing.assert_allclose(got["pitch"], ref["pitch"], atol=1e-4)
+    assert (got["prefetch"] == ref["prefetch"]).mean() > 0.99
+
+
+def test_grouped_predict_packed_and_missing_set():
+    from longterm360fov_tpu.models import get_family
+
+    cfg = ExperimentConfig(
+        name="tiny-transformer-grouped2",
+        model=Seq2SeqConfig(d=3, hidden=128, layers=1, h_in=5, h_out=6),
+        model_family="transformer",
+        n_other_users=2,
+    )
+    fam = get_family("transformer")
+    params = fam.init(jax.random.PRNGKey(4), cfg.model)
+    rng = np.random.default_rng(4)
+    pasts = random_past(rng, n=3, h_in=5)
+    sets = {"v0": rng.normal(size=(2, 6, 3)).astype(np.float32) * 0.1}
+
+    gfn = serving.make_grouped_serve_fn(
+        params, cfg, fam, with_tiles=False, tile_b=128, packed=True
+    )
+    got = serving.grouped_predict(gfn, pasts, ["v0"] * 3, sets)
+    assert got["yaw"].shape == (3, 6) and got["pitch"].shape == (3, 6)
+
+    with pytest.raises(KeyError, match="v1"):
+        serving.grouped_predict(gfn, pasts, ["v0", "v1", "v0"], sets)
+
+    # non-transformer families reject the grouped builder loudly
+    with pytest.raises(ValueError, match="transformer"):
+        serving.make_grouped_serve_fn(
+            params, tiny_cfg("cross_user"), get_family("cross_user")
+        )

@@ -435,3 +435,76 @@ def test_serve_fused_rejects_impure_gid_tiles():
             params, cfg, past, group_future_n=gfut, group_mask=gmask,
             peer_gid=bad_gid, tile_b=128, compute_dtype=jnp.float32,
         )
+
+
+@pytest.mark.parametrize(
+    "w,pool",
+    [(0, "none"),
+     pytest.param(2, "none", marks=pytest.mark.slow),
+     pytest.param(0, "mean", marks=pytest.mark.slow)],
+)
+def test_anchor_corrected_shared_matches_per_row_anchored(w, pool):
+    """The r5 production dedup contract: shared K/V over RAW group peer
+    sets + the per-row δv anchor correction == the per-row tier on
+    PER-TARGET-ANCHORED peer copies (the trained batch_extras
+    semantics). Exact because the peer-token pipeline is affine and
+    softmax is shift-invariant."""
+    cfg, params, past, gfut, gmask, gid = _grouped_setup(
+        w=w, pool=pool, seed=21
+    )
+    rng = np.random.default_rng(21)
+    anchor = jnp.asarray(
+        rng.normal(size=(past.shape[0], 3)).astype(np.float32) * 0.1
+    )
+    out_shared = TR.serve_fused(
+        params, cfg, past, group_future_n=gfut, group_mask=gmask,
+        peer_gid=gid, peer_anchor=anchor,
+        tile_b=128, compute_dtype=jnp.float32,
+    )
+    # reference: per-row anchored copies through the per-row fused tier
+    of_rows = jnp.take(gfut, gid, axis=0) - anchor[:, None, None, :]
+    out_rows = TR.serve_fused(
+        params, cfg, past,
+        other_future_n=of_rows,
+        other_mask=jnp.take(gmask, gid, axis=0),
+        tile_b=128, compute_dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_shared), np.asarray(out_rows), atol=5e-5,
+        err_msg=f"anchor-corrected shared tier mismatch w={w} pool={pool}",
+    )
+
+
+def test_anchor_corrected_shared_xla_fallback_matches():
+    """Over-budget grouped configs expand per-row WITH the anchor
+    applied (the fallback twin of the δv correction)."""
+    import dataclasses as _dc
+
+    cfg, params, past, gfut, gmask, gid = _grouped_setup(seed=22)
+    rng = np.random.default_rng(22)
+    anchor = jnp.asarray(
+        rng.normal(size=(past.shape[0], 3)).astype(np.float32) * 0.1
+    )
+    out_fb = TR.serve_fused(
+        params, cfg, past, group_future_n=gfut, group_mask=gmask,
+        peer_gid=gid, peer_anchor=anchor,
+        tile_b=128, compute_dtype=jnp.float32,
+        fused_encoder=False,
+    )
+    # force the fallback by shrinking the shared budget via monkeypatch
+    import longterm360fov_tpu.ops.transformer_decode as TD
+
+    orig = TD.peer_shared_fits
+    TD.peer_shared_fits = lambda *a, **k: False
+    try:
+        out_rows = TR.serve_fused(
+            params, cfg, past, group_future_n=gfut, group_mask=gmask,
+            peer_gid=gid, peer_anchor=anchor,
+            tile_b=128, compute_dtype=jnp.float32,
+            fused_encoder=False,
+        )
+    finally:
+        TD.peer_shared_fits = orig
+    np.testing.assert_allclose(
+        np.asarray(out_fb), np.asarray(out_rows), atol=5e-5
+    )
