@@ -164,6 +164,15 @@ def _build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--fov", type=float, default=90.0)
     pr.add_argument("--out", help="output JSONL path (default: stdout)")
     pr.add_argument("--impl", default="xla", choices=("xla", "fused"))
+    pr.add_argument(
+        "--peer-group", action="store_true",
+        help="GROUP-shared peer serving (transformer families): one "
+        "peer set per video — the first K full-span traces, shared by "
+        "every viewer of that video (a viewer may appear in its own "
+        "peer set offline; live daemons can't, their own future is "
+        "unobserved) — served with one peer K/V copy per video "
+        "(serving.make_grouped_serve_fn, the peer-dedup tier)",
+    )
 
     sv = sub.add_parser(
         "serve", help="streaming-prefetch simulation: hit rate + bandwidth"
@@ -741,6 +750,17 @@ def cmd_predict(args):
 
     cfg = _preset_cfg(args)
     fam = get_family(cfg.model_family)
+    if args.peer_group:
+        if cfg.model_family != "transformer" or args.peers == 0:
+            raise SystemExit(
+                "--peer-group is the transformer families' shared-peer "
+                "tier; needs a transformer preset and K > 0 peers"
+            )
+        if args.at_frame is None:
+            raise SystemExit(
+                "--peer-group requires --at-frame: one shared playback "
+                "position defines the per-video peer span"
+            )
     if args.params:
         from . import serving as SV
 
@@ -771,6 +791,8 @@ def cmd_predict(args):
     if k_peers < 0:
         k_peers = cfg.n_other_users if extras is not None else 0
     h_in, h_out = cfg.model.h_in, cfg.model.h_out
+    if args.peer_group and not k_peers:
+        raise SystemExit("--peer-group with an effective K of 0 peers")
 
     rows, pasts, peer_blocks, peer_masks = [], [], [], []
     for tr in store.traces:
@@ -783,7 +805,7 @@ def cmd_predict(args):
             )
             continue
         pasts.append(tr.xyz[end - h_in:end])
-        if k_peers:
+        if k_peers and not args.peer_group:
             peers = np.zeros((k_peers, h_out, 3), np.float32)
             mask = np.zeros((k_peers,), bool)
             got = 0
@@ -809,20 +831,55 @@ def cmd_predict(args):
     if not rows:
         raise SystemExit("no trace long enough for a full input window")
 
-    batch = {"past": jnp.asarray(np.stack(pasts))}
-    if k_peers:
-        batch["other_future"] = jnp.asarray(np.stack(peer_blocks))
-        batch["other_mask"] = jnp.asarray(np.stack(peer_masks))
-    serve = infer.make_predict_fn(
-        params, cfg, fam.apply, with_tiles=args.tiles,
-        tile_rows=args.tile_rows, tile_cols=args.tile_cols,
-        fov_deg=args.fov, extras_fn=extras, impl=args.impl,
-    )
-    out = serve(batch)
-    xyz, tile_mask = out if args.tiles else (out, None)
-    yaw, pitch = geometry.xyz_to_euler(xyz)
-    yaw = np.degrees(np.asarray(yaw))
-    pitch = np.degrees(np.asarray(pitch))
+    fetch_union = None  # grouped path: horizon-unioned prefetch per row
+    if args.peer_group:
+        # GROUP-shared peer serving (the peer-dedup production path):
+        # one peer set per video — the first K full-span traces of the
+        # video at --at-frame — one peer K/V copy per video on-device
+        from . import serving as SV
+
+        end = args.at_frame
+        keys = [r["video"] for r in rows]
+        sets, masks = {}, {}
+        for video in dict.fromkeys(keys):
+            peers = np.zeros((k_peers, h_out, 3), np.float32)
+            m = np.zeros((k_peers,), np.float32)
+            got = 0
+            for tr in store.traces:
+                if tr.video != video or len(tr.xyz) < end + h_out:
+                    continue
+                peers[got] = tr.xyz[end:end + h_out]
+                m[got] = 1.0
+                got += 1
+                if got == k_peers:
+                    break
+            sets[video], masks[video] = peers, m
+        gfn = SV.make_grouped_serve_fn(
+            params, cfg, fam, with_tiles=args.tiles,
+            tile_rows=args.tile_rows, tile_cols=args.tile_cols,
+            fov_deg=args.fov,
+        )
+        host = SV.grouped_predict(gfn, np.stack(pasts), keys, sets, masks)
+        yaw = np.degrees(host["yaw"])
+        pitch = np.degrees(host["pitch"])
+        fetch_union = host.get("prefetch")
+        tile_mask = None
+        group_used = {v: int(m.sum()) for v, m in masks.items()}
+    else:
+        batch = {"past": jnp.asarray(np.stack(pasts))}
+        if k_peers:
+            batch["other_future"] = jnp.asarray(np.stack(peer_blocks))
+            batch["other_mask"] = jnp.asarray(np.stack(peer_masks))
+        serve = infer.make_predict_fn(
+            params, cfg, fam.apply, with_tiles=args.tiles,
+            tile_rows=args.tile_rows, tile_cols=args.tile_cols,
+            fov_deg=args.fov, extras_fn=extras, impl=args.impl,
+        )
+        out = serve(batch)
+        xyz, tile_mask = out if args.tiles else (out, None)
+        yaw, pitch = geometry.xyz_to_euler(xyz)
+        yaw = np.degrees(np.asarray(yaw))
+        pitch = np.degrees(np.asarray(pitch))
 
     fh = open(args.out, "w") if args.out else sys.stdout
     try:
@@ -830,9 +887,16 @@ def cmd_predict(args):
             row["yaw_deg"] = [round(float(v), 3) for v in yaw[i]]
             row["pitch_deg"] = [round(float(v), 3) for v in pitch[i]]
             if k_peers:
-                row["peers_used"] = int(peer_masks[i].sum())
+                row["peers_used"] = (
+                    group_used[row["video"]] if args.peer_group
+                    else int(peer_masks[i].sum())
+                )
+            fetch = None
             if tile_mask is not None:
                 fetch = np.any(np.asarray(tile_mask[i]), axis=0)
+            elif fetch_union is not None:
+                fetch = fetch_union[i]
+            if fetch is not None:
                 row["prefetch_tiles"] = np.nonzero(fetch)[0].tolist()
                 row["grid"] = f"{args.tile_rows}x{args.tile_cols}"
             fh.write(json.dumps(row) + "\n")

@@ -1180,6 +1180,16 @@ class FovServer(socketserver.ThreadingTCPServer):
                                                   bulk path; windows
                                                   still coalesce in the
                                                   shared batcher)
+      … with "group_key": [key × N],
+       "group_sets": {key: [[...] × K]},
+       "group_masks"?: {key: [K]}               → GROUP-shared peer
+                                                  serving (peer dedup):
+                                                  one peer K/V copy per
+                                                  video on the device;
+                                                  transformer presets
+                                                  route the shared-KV
+                                                  kernel, other families
+                                                  expand per row
       {"op": "stats", "id"}                     → batcher + session stats
       {"op": "drop", "id", "viewer"}            → forget a session
       {"op": "reload", "id", "path": npz}       → hot-swap params from an
@@ -1199,12 +1209,20 @@ class FovServer(socketserver.ThreadingTCPServer):
         *,
         request_timeout: float = 30.0,
         reload_ctx: Optional[Tuple[ParamStore, object, object]] = None,
+        grouped_fn: Optional[Callable] = None,
     ):
         super().__init__(addr, _Handler)
         self.batcher = batcher
         self.sessions = ViewerSessions(batcher.h_in)
         self.request_timeout = request_timeout
         self.reload_ctx = reload_ctx  # (param_store, cfg, fam) or None
+        # GROUP-shared peer serving program (make_grouped_serve_fn) for
+        # "predict_batch" requests carrying "group_key"/"group_sets" —
+        # the gateway bulk path dispatches it directly (group
+        # composition varies per request, so it does not coalesce
+        # through the DynamicBatcher; grouped_predict's row/group
+        # bucket ladders bound the compile count instead)
+        self.grouped_fn = grouped_fn
         # live cross-user context: when the family consumes peer futures,
         # push requests carrying a "video" feed the pool and viewers
         # behind others on the same video predict WITH real peer context
@@ -1244,11 +1262,49 @@ class FovServer(socketserver.ThreadingTCPServer):
                     f"predict_batch past must be (N, h_in, 3), got "
                     f"shape {pasts.shape}"
                 )
-            extras_all = {
-                k: np.asarray(req[k], np.float32)
-                for k in self.batcher.extra_specs
-                if req.get(k) is not None
-            }
+            gkeys = req.get("group_key")
+            if gkeys is not None:
+                # GROUP-shared peers (peer dedup, r5 production wiring):
+                # "group_key" names each row's video, "group_sets" maps
+                # key → (K, h_out, 3) RAW shared peer windows (+ optional
+                # "group_masks"). One K/V copy per video on the device;
+                # anchoring is exact via the kernel's δv correction.
+                sets = {
+                    k: np.asarray(v, np.float32)
+                    for k, v in (req.get("group_sets") or {}).items()
+                }
+                masks = req.get("group_masks")
+                if masks is not None:
+                    masks = {
+                        k: np.asarray(v, np.float32)
+                        for k, v in masks.items()
+                    }
+                if self.grouped_fn is not None:
+                    host = grouped_predict(
+                        self.grouped_fn, pasts, gkeys, sets, masks
+                    )
+                    return self._bulk_reply(rid, host)
+                # family without the shared tier: expand the shared sets
+                # to per-row extras and ride the normal bulk path
+                # (identical semantics, per-row device cost)
+                missing = [k for k in dict.fromkeys(gkeys) if k not in sets]
+                if missing:
+                    raise KeyError(
+                        f"group_sets missing peer sets for {missing}"
+                    )
+                extras_all = {
+                    "other_future": np.stack([sets[k] for k in gkeys])
+                }
+                if masks is not None:
+                    extras_all["other_mask"] = np.stack(
+                        [masks[k] for k in gkeys]
+                    )
+            else:
+                extras_all = {
+                    k: np.asarray(req[k], np.float32)
+                    for k in self.batcher.extra_specs
+                    if req.get(k) is not None
+                }
             pending = self.batcher.submit_many(pasts, **extras_all)
             parts = []
             deadline = time.monotonic() + self.request_timeout
@@ -1266,18 +1322,7 @@ class FovServer(socketserver.ThreadingTCPServer):
                 )
                 for k in parts[0]
             }
-            out = {
-                "id": rid,
-                "yaw": np.round(host["yaw"].astype(np.float64), 6).tolist(),
-                "pitch": np.round(
-                    host["pitch"].astype(np.float64), 6
-                ).tolist(),
-            }
-            if "prefetch" in host:
-                out["prefetch"] = [
-                    np.flatnonzero(row).tolist() for row in host["prefetch"]
-                ]
-            return out
+            return self._bulk_reply(rid, host)
         if op == "push":
             viewer = str(req["viewer"])
             xyz = pose_to_xyz(req["pose"])
@@ -1347,6 +1392,21 @@ class FovServer(socketserver.ThreadingTCPServer):
             out["prefetch"] = np.flatnonzero(res["prefetch"]).tolist()
         return out
 
+    @staticmethod
+    def _bulk_reply(rid, host: Dict) -> Dict:
+        out = {
+            "id": rid,
+            "yaw": np.round(host["yaw"].astype(np.float64), 6).tolist(),
+            "pitch": np.round(
+                host["pitch"].astype(np.float64), 6
+            ).tolist(),
+        }
+        if "prefetch" in host:
+            out["prefetch"] = [
+                np.flatnonzero(row).tolist() for row in host["prefetch"]
+            ]
+        return out
+
 
 class FovClient:
     """Blocking line-JSON client (one in-flight request per connection;
@@ -1408,6 +1468,7 @@ def serve_daemon(
     mesh=None,
     warmup: bool = True,
     pipeline_depth: int = 4,
+    grouped: bool = True,
 ) -> FovServer:
     """Build the jitted serve fn + batcher + TCP server (not yet
     serving — call ``serve_forever()`` or use it from tests). With
@@ -1458,4 +1519,20 @@ def serve_daemon(
         divisor=divisor,
         pipeline_depth=pipeline_depth,
     )
-    return FovServer((host, port), batcher, reload_ctx=(store, cfg, fam))
+    grouped_fn = None
+    if (
+        grouped
+        and cfg.model_family == "transformer"
+        and cfg.n_other_users > 0
+        and mesh is None  # grouped dispatch is single-program for now
+    ):
+        grouped_fn = make_grouped_serve_fn(
+            params, cfg, fam,
+            with_tiles=with_tiles, tile_rows=tile_rows,
+            tile_cols=tile_cols, fov_deg=fov_deg,
+            param_store=store, packed=True,
+        )
+    return FovServer(
+        (host, port), batcher, reload_ctx=(store, cfg, fam),
+        grouped_fn=grouped_fn,
+    )

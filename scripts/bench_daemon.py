@@ -42,6 +42,13 @@ def main():
         "(gateway bulk path — measures device-bound throughput without "
         "per-request JSON overhead)",
     )
+    ap.add_argument(
+        "--peers", type=int, default=0,
+        help="attach K random valid peer windows to every request "
+        "(exercises the peer tiers — e.g. the lockstep kernel for "
+        "--preset stacked-ss-crossuser-10s — with live context on the "
+        "wire)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -74,6 +81,23 @@ def main():
     ).astype(np.float32)
     past /= np.linalg.norm(past, axis=-1, keepdims=True)
     payload = past.tolist() if args.bulk else past[0].tolist()
+    peer_extras = {}
+    if args.peers:
+        k, t = args.peers, cfg.model.h_out
+        of = rng.normal(
+            size=(max(args.bulk, 1), k, t, 3)
+        ).astype(np.float32)
+        of /= np.linalg.norm(of, axis=-1, keepdims=True)
+        mask = np.ones((max(args.bulk, 1), k), np.float32)
+        if args.bulk:
+            peer_extras = {
+                "other_future": of.tolist(), "other_mask": mask.tolist()
+            }
+        else:
+            peer_extras = {
+                "other_future": of[0].tolist(),
+                "other_mask": mask[0].tolist(),
+            }
 
     lat = [[] for _ in range(args.clients)]
     barrier = threading.Barrier(args.clients + 1)
@@ -82,7 +106,9 @@ def main():
         c = serving.FovClient(host, port)
         try:
             if args.bulk:
-                req = {"op": "predict_batch", "past": payload}
+                req = {
+                    "op": "predict_batch", "past": payload, **peer_extras
+                }
                 c.request(req)  # warm
                 barrier.wait()
                 for _ in range(args.requests):
@@ -91,11 +117,11 @@ def main():
                     lat[i].append(time.monotonic() - t)
                     assert "yaw" in r, r
                 return
-            c.predict(payload)  # connection + first-dispatch warm
+            c.predict(payload, **peer_extras)  # connection + warm
             barrier.wait()
             for _ in range(args.requests):
                 t = time.monotonic()
-                r = c.predict(payload)
+                r = c.predict(payload, **peer_extras)
                 lat[i].append(time.monotonic() - t)
                 assert "yaw" in r, r
         finally:
@@ -123,6 +149,7 @@ def main():
         "clients": args.clients,
         "requests": n,
         "bulk": args.bulk,
+        "peers": args.peers,
         "pipeline_depth": args.pipeline_depth,
         "req_per_s": round(n / wall, 1),
         "windows_per_s": round(n * max(args.bulk, 1) / wall, 1),

@@ -29,6 +29,10 @@ MATRIX = [
     ("lstm-xyz-10", 262144, 10, 4096, 60, True),
     ("seq2seq-tf-30", 262144, 10, 4096, 60, True),
     ("stacked-ss-crossuser", 65536, 10, 4096, 40, True),
+    # the 100-frame quality-record preset (r5): K=7 time-aligned peers
+    # served by the lockstep-peer kernel, trained on the XLA aligned
+    # scan (bench_train covers the aligned train rate)
+    ("stacked-ss-crossuser-10s", 65536, 10, 4096, 40, True),
     ("video-fusion", 65536, 10, 4096, 40, True),
     # full preset workload: peers ride the fused kernel VMEM-resident
     # since the 2-layer recipe (peer_vmem_fits) — no-peer reference
@@ -37,6 +41,11 @@ MATRIX = [
     # extension row: the matched-horizon quality recipe (RESULTS.md)
     ("transformer-30", 16384, 5, 1024, 20, True),
 ]
+
+# transformer presets also measure the GROUP-shared peer tier (peer
+# dedup + δv anchor correction — the r5 production serve path): B
+# viewers over G videos, one peer K/V copy per video on the device
+GROUPED_GROUPS = 8
 
 
 def make_batch(cfg, n, *, with_future=False, with_peers=True, seed=0):
@@ -113,6 +122,65 @@ def bench_serve(cfg, fam, params, batch_n, iters, with_peers=True):
             results[impl] = {"error": f"{type(e).__name__}: {e}"[:200]}
             print(f"  serve[{impl}] FAILED {e}", flush=True)
     return results
+
+
+def bench_serve_grouped(cfg, fam, params, batch_n, iters, groups):
+    """GROUP-shared peer serving throughput: the production dedup path
+    (serving.make_grouped_serve_fn — normalize → shared-KV fused decode
+    with the per-row anchor correction → yaw/pitch). Host packing is
+    done once; the timed loop is pure device dispatch, mirroring the
+    per-row legs."""
+    import jax.numpy as jnp
+
+    from longterm360fov_tpu import serving as SV
+
+    k, t = cfg.n_other_users, cfg.model.h_out
+    if not k or batch_n % groups or (batch_n // groups) % 128:
+        return {"error": "shape: batch must split into 128-pure groups"}
+    rng = np.random.default_rng(1)
+    host = make_batch(cfg, batch_n, with_peers=False)
+    gfut = rng.normal(size=(groups, k, t, 3)).astype(np.float32)
+    gfut /= np.linalg.norm(gfut, axis=-1, keepdims=True) + 1e-9
+    gmask = np.ones((groups, k), np.float32)
+    gid = np.repeat(np.arange(groups, dtype=np.int32), batch_n // groups)
+    try:
+        gfn = SV.make_grouped_serve_fn(
+            params, cfg, fam, with_tiles=False
+        )
+    except ValueError as e:
+        return {"error": str(e)[:200]}
+    past = jnp.asarray(host["past"])
+    gfut_j, gmask_j, gid_j = (
+        jnp.asarray(gfut), jnp.asarray(gmask), jnp.asarray(gid)
+    )
+    try:
+        def timed(n):
+            t0 = time.time()
+            out = None
+            for _ in range(n):
+                out = gfn(past, gfut_j, gmask_j, gid_j)
+            import jax.numpy as _jnp
+
+            float(_jnp.sum(out["yaw"]))
+            return time.time() - t0
+
+        t0 = time.time()
+        timed(1)
+        compile_s = time.time() - t0
+        t1 = timed(1)
+        t2 = timed(1 + iters)
+        thr = batch_n * iters / max(t2 - t1, 1e-9)
+        print(
+            f"  serve[grouped G={groups}] {thr:,.0f} traj/s", flush=True
+        )
+        return {
+            "traj_per_s": round(thr, 1),
+            "compile_s": round(compile_s, 1),
+            "groups": groups,
+        }
+    except Exception as e:  # noqa: BLE001
+        print(f"  serve[grouped] FAILED {e}", flush=True)
+        return {"error": f"{type(e).__name__}: {e}"[:200]}
 
 
 def bench_train(cfg, fam, batch_n, steps):
@@ -206,13 +274,18 @@ def main():
         params = fam.init(jax.random.PRNGKey(0), cfg.model)
         # count serving FLOPs for the workload actually measured
         serve_cfg = cfg if swp else cfg.replace(n_other_users=0)
+        serve_res = bench_serve(cfg, fam, params, sb, si, with_peers=swp)
+        if cfg.model_family == "transformer" and swp and cfg.n_other_users:
+            serve_res["grouped"] = bench_serve_grouped(
+                cfg, fam, params, sb, si, GROUPED_GROUPS
+            )
         row = {
             "preset": preset,
             "serve_batch": sb,
             "train_batch": tb,
             "decode_flops": round(F.decode_flops(serve_cfg)),
             "train_flops": round(F.train_flops(cfg)),
-            "serve": bench_serve(cfg, fam, params, sb, si, with_peers=swp),
+            "serve": serve_res,
             "train": try_train(cfg, fam, tb, ts),
             "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
         }

@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--steps", type=int, default=40)
     ap.add_argument("--computes", default="float32,bfloat16")
+    ap.add_argument("--peers", type=int, default=None,
+                    help="override the preset's peer-context size K")
     ap.add_argument("--out", default="bench_train.jsonl")
     args = ap.parse_args()
 
@@ -42,6 +44,8 @@ def main():
     from bench_matrix import make_batch  # same batch builder as the matrix
 
     base = get_preset(args.preset)
+    if args.peers is not None:
+        base = dataclasses.replace(base, n_other_users=args.peers)
     fam = get_family(base.model_family)
     host = make_batch(base, args.batch, with_future=True)
     batch = {k: jnp.asarray(v) for k, v in host.items()}
@@ -98,6 +102,7 @@ def main():
         sps_full = args.steps / max(tf2 - tf1, 1e-9)
         row = {
             "preset": args.preset, "batch": args.batch,
+            "peers": base.n_other_users,
             "train_compute": tc,
             "compile_s": round(compile_s, 1),
             "steps_per_s": round(sps, 2),

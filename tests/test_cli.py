@@ -394,3 +394,42 @@ def test_inspect_traces(tmp_path, capsys):
     assert "rate~30.0 Hz" in out
     assert "CAUTION" in out  # the non-quat 5-col file gets flagged
     assert "2/2 shown files parse cleanly" in out
+
+
+def test_predict_peer_group_shared_tier(tmp_path, capsys):
+    """--peer-group: transformer predict through the GROUP-shared peer
+    tier — one peer set per video, one K/V copy on the device; output
+    rows carry the group's peer count and tile sets."""
+    ckpt = str(tmp_path / "ck")
+    # a transformer ckpt at a small horizon (fast on CPU)
+    cli.main(
+        ["train", "--preset", "transformer-30",
+         "--h-in", "10", "--h-out", "10",
+         "--steps", "2", "--batch-size", "8", "--ckpt-dir", ckpt]
+    )
+    capsys.readouterr()
+    out_path = str(tmp_path / "pred.jsonl")
+    cli.main(
+        ["predict", "--preset", "transformer-30",
+         "--h-in", "10", "--h-out", "10",
+         "--ckpt-dir", ckpt, "--at-frame", "400",
+         "--peers", "2", "--peer-group", "--tiles", "--out", out_path]
+    )
+    rows = [json.loads(ln) for ln in open(out_path)]
+    assert len(rows) == 8  # synthetic store: 8 users x 1 video
+    assert all(r["peers_used"] == 2 for r in rows)
+    assert all(len(r["yaw_deg"]) == 10 for r in rows)
+    assert all("prefetch_tiles" in r for r in rows)
+
+    # guard rails: non-transformer preset / missing --at-frame
+    with pytest.raises(SystemExit, match="transformer"):
+        cli.main(
+            ["predict", "--preset", "lstm-xyz-10", "--ckpt-dir", ckpt,
+             "--peer-group", "--at-frame", "50"]
+        )
+    with pytest.raises(SystemExit, match="at-frame"):
+        cli.main(
+            ["predict", "--preset", "transformer-30",
+             "--h-in", "10", "--h-out", "10",
+             "--ckpt-dir", ckpt, "--peer-group"]
+        )

@@ -1125,3 +1125,122 @@ def test_grouped_predict_packed_and_missing_set():
         serving.make_grouped_serve_fn(
             params, tiny_cfg("cross_user"), get_family("cross_user")
         )
+
+
+def test_daemon_grouped_predict_batch_matches_per_row():
+    """The daemon's grouped bulk gateway ("group_key"/"group_sets")
+    serves through the shared-KV program and matches the per-row bulk
+    path on the same shared sets."""
+    from longterm360fov_tpu.models import get_family
+
+    cfg = ExperimentConfig(
+        name="tiny-transformer-daemon-grouped",
+        model=Seq2SeqConfig(d=3, hidden=128, layers=1, h_in=5, h_out=6),
+        model_family="transformer",
+        n_other_users=2,
+    )
+    fam = get_family("transformer")
+    params = fam.init(jax.random.PRNGKey(5), cfg.model)
+    server = serving.serve_daemon(
+        params, cfg, fam, host="127.0.0.1", port=0,
+        max_batch=8, max_wait_ms=1.0, warmup=False,
+    )
+    assert server.grouped_fn is not None
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    host, port = server.server_address
+    client = serving.FovClient(host, port, timeout=120.0)
+    rng = np.random.default_rng(5)
+    try:
+        pasts = random_past(rng, n=5, h_in=5)
+        keys = ["v0", "v1", "v0", "v1", "v0"]
+        sets = {
+            v: (rng.normal(size=(2, 6, 3)) * 0.1).astype(np.float32)
+            for v in ("v0", "v1")
+        }
+        r_g = client.request({
+            "op": "predict_batch", "past": pasts.tolist(),
+            "group_key": keys,
+            "group_sets": {k: v.tolist() for k, v in sets.items()},
+        })
+        assert "error" not in r_g, r_g
+        # per-row reference: the same sets expanded row-wise
+        r_r = client.request({
+            "op": "predict_batch", "past": pasts.tolist(),
+            "other_future": np.stack([sets[k] for k in keys]).tolist(),
+        })
+        np.testing.assert_allclose(r_g["yaw"], r_r["yaw"], atol=1e-3)
+        np.testing.assert_allclose(r_g["pitch"], r_r["pitch"], atol=1e-3)
+        assert r_g["prefetch"] == r_r["prefetch"]
+    finally:
+        client.close()
+        server.shutdown()
+        server.batcher.stop()
+
+
+def test_daemon_record_preset_serves_lockstep_kernel():
+    """VERDICT r4 weak #6: the stacked-ss-crossuser-10s daemon wiring at
+    K=7 must actually engage the LOCKSTEP-peer kernel (fused_serve with
+    peer_xs) — not the XLA aligned fallback — and answer finite
+    predictions. The spy wraps ops.fused_lstm.fused_serve at trace time
+    (cross_user.serve_fused imports it per call)."""
+    import dataclasses as _dc
+
+    from longterm360fov_tpu import ops
+    from longterm360fov_tpu.config import get_preset
+    from longterm360fov_tpu.models import get_family
+    from longterm360fov_tpu.ops import fused_lstm as FL
+
+    # the record preset's shape contract at test size: peer_align + K=7
+    # (tiny hidden keeps CPU interpret fast; the ROUTING is what's under
+    # test — aligned_serve_fits passes at these sizes)
+    base = get_preset("stacked-ss-crossuser-10s")
+    cfg = base.replace(
+        model=_dc.replace(
+            base.model, hidden=16, ctx_dim=8, h_in=5, h_out=6
+        ),
+    )
+    assert cfg.model.peer_align and cfg.n_other_users == 7
+    fam = get_family(cfg.model_family)
+    params = fam.init(jax.random.PRNGKey(6), cfg.model)
+
+    called = {}
+    orig = FL.fused_serve
+
+    def spy(*a, **kw):
+        if kw.get("peer_xs") is not None:
+            called["lockstep"] = True
+        return orig(*a, **kw)
+
+    FL.fused_serve = spy
+    try:
+        server = serving.serve_daemon(
+            params, cfg, fam, host="127.0.0.1", port=0,
+            max_batch=8, max_wait_ms=1.0, warmup=False, impl="fused",
+        )
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        host, port = server.server_address
+        client = serving.FovClient(host, port, timeout=120.0)
+        rng = np.random.default_rng(6)
+        try:
+            past = random_past(rng, h_in=5)
+            of = rng.normal(size=(7, 6, 3)).astype(np.float32)
+            of /= np.linalg.norm(of, axis=-1, keepdims=True)
+            r = client.predict(
+                past.tolist(), other_future=of.tolist(),
+                other_mask=[1.0] * 7,
+            )
+            assert "error" not in r, r
+            assert np.isfinite(r["yaw"]).all()
+            assert len(r["yaw"]) == 6
+        finally:
+            client.close()
+            server.shutdown()
+            server.batcher.stop()
+    finally:
+        FL.fused_serve = orig
+    assert called.get("lockstep"), (
+        "the daemon served the record preset WITHOUT the lockstep-peer "
+        "kernel (XLA fallback engaged)"
+    )
