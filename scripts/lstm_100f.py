@@ -68,6 +68,20 @@ def main():
         # and 100f is where context staleness dominates.
         ("stacked-ss-crossuser-100-align-k7", "stacked-ss-crossuser", 100,
          True, {"model_peer_align": True, "n_other_users": 7}),
+        # r5 task-8 probes (VERDICT r4): two unexplored crosses of the
+        # r4 findings, 3 seeds each, adopt-or-reject.
+        # (a) the transformer recipe with K=7 peers: K=7 was neutral at
+        #     30f static-pooled (r2), but r4 showed ALIGNMENT changes
+        #     what K buys — the windowed (±8) peer attend is the
+        #     transformer's aligned analog
+        ("transformer-10s-k7", "transformer-10s", 100, True,
+         {"n_other_users": 7}),
+        # (b) the record recipe + great-circle blend: gc_weight helped
+        #     nothing recurrent at 30f, but the 100f TAIL is where
+        #     spherical geometry diverges most from MSE
+        ("stacked-ss-crossuser-100-align-k7-gc02", "stacked-ss-crossuser",
+         100, True,
+         {"model_peer_align": True, "n_other_users": 7, "gc_weight": 0.2}),
     ]
     only = set(args.only.split(",")) if args.only else None
     seeds = [int(s) for s in args.seeds.split(",")]
