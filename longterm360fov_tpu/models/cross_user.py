@@ -167,6 +167,88 @@ def apply(
     )
 
 
+def _apply_fused_aligned(
+    params: Dict,
+    cfg: Seq2SeqConfig,
+    past_n: jax.Array,
+    future_n: jax.Array,
+    *,
+    other_future_n: Optional[jax.Array],
+    other_mask: Optional[jax.Array],
+    context: Optional[jax.Array],
+    rng=None,
+    teacher_prob=1.0,
+    coins="bernoulli",
+    tile_b: int = 1024,
+    compute_dtype=None,
+):
+    """Training forward for cfg.peer_align on the LOCKSTEP-peer fused
+    kernel (ops.lstm_align, r5): the K peer encoders advance inside the
+    decoder's custom-VJP Pallas pass and step t's context is their
+    mask-weighted mean hidden state — semantics of
+    :func:`encode_peers_aligned` + the scan decoder (grads
+    parity-tested). Returns None when this tier can't run (no peers /
+    explicit context / peer span != horizon / over the VMEM row
+    budget) — callers fall back to the XLA scan."""
+    if other_future_n is None or context is not None:
+        return None
+    from ..ops.lstm_align import aligned_ss_decode, aligned_train_fits
+
+    k = other_future_n.shape[1]
+    if other_future_n.shape[2] != future_n.shape[1]:
+        # no silent fallback: the XLA aligned scan cannot zip a
+        # 3-length context with a 5-length teacher either (its lax.scan
+        # errors opaquely) — say what's wrong (mirrors the serve-side
+        # span guard, ADVICE r4)
+        raise ValueError(
+            f"peer_align training requires peer windows spanning the "
+            f"decode horizon: got span {other_future_n.shape[2]} != "
+            f"h_out {future_n.shape[1]}"
+        )
+    if not aligned_train_fits(cfg.layers, cfg.hidden, cfg.d,
+                              cfg.ctx_dim, k):
+        return None
+    from ..ops.lstm_train import lstm_seq_states
+
+    batch = past_n.shape[0]
+    t_out = future_n.shape[1]
+    z = jnp.zeros((cfg.layers, batch, cfg.hidden), jnp.float32)
+    _, hT, cT = lstm_seq_states(
+        params["encoder"], past_n.astype(jnp.float32), z, z, tile_b,
+        jnp.float32, compute_dtype or jnp.float32,
+    )
+    y0 = past_n[:, -1, :].astype(jnp.float32)
+    fut_tm = jnp.swapaxes(future_n.astype(jnp.float32), 0, 1)
+    teacher_tm = jnp.concatenate([y0[None], fut_tm[:-1]], axis=0)
+    if isinstance(coins, str) and coins == "ones":
+        coins_tm = jnp.ones((t_out, batch, 1), jnp.float32)
+    elif isinstance(coins, str):  # "bernoulli"
+        if rng is None:
+            raise ValueError("aligned SS forward needs rng")
+        coins_tm = jax.random.bernoulli(
+            rng, jnp.asarray(teacher_prob, jnp.float32),
+            (t_out, batch, 1),
+        ).astype(jnp.float32)
+    else:  # explicit (T, B, 1) coins — the parity tests' contract
+        coins_tm = jnp.asarray(coins, jnp.float32)
+    # (B, K, T, D) → time-major packed (T, B, K*D)
+    pxs_tm = jnp.transpose(
+        other_future_n.astype(jnp.float32), (2, 0, 1, 3)
+    ).reshape(t_out, batch, k * cfg.d)
+    if other_mask is None:
+        pwt = jnp.full((batch, k), 1.0 / k, jnp.float32)
+    else:
+        m = other_mask.astype(jnp.float32)
+        pwt = m / jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
+    kw = {} if compute_dtype is None else {"compute_dtype": compute_dtype}
+    return aligned_ss_decode(
+        params["decoder"], params["proj"]["w"].astype(jnp.float32),
+        params["proj"]["b"].astype(jnp.float32),
+        params["peer_encoder"], hT, cT, y0, teacher_tm, pxs_tm,
+        (coins_tm, pwt), tile_b, jnp.float32, **kw,
+    )
+
+
 def apply_fused_tf(
     params: Dict,
     cfg: Seq2SeqConfig,
@@ -182,8 +264,17 @@ def apply_fused_tf(
     """Teacher-forced forward entirely on the fused Pallas primitives
     (peer encoder included)."""
     if cfg.peer_align:
-        # per-step context: the fused decoder takes a static context
-        # vector, so the aligned variant trains on the XLA scan path
+        # teacher forcing == scheduled sampling with every coin heads;
+        # the aligned kernel handles per-step context (r5 lockstep
+        # train tier — see _apply_fused_aligned routing)
+        out = _apply_fused_aligned(
+            params, cfg, past_n, future_n,
+            other_future_n=other_future_n, other_mask=other_mask,
+            context=context, coins="ones", tile_b=tile_b,
+            compute_dtype=compute_dtype,
+        )
+        if out is not None:
+            return out
         return apply(
             params, cfg, past_n, future_n,
             other_future_n=other_future_n, other_mask=other_mask,
@@ -219,6 +310,14 @@ def apply_fused_ss(
     """Scheduled-sampling training forward on the fused Pallas decoder
     (peer encoder included)."""
     if cfg.peer_align:
+        out = _apply_fused_aligned(
+            params, cfg, past_n, future_n,
+            other_future_n=other_future_n, other_mask=other_mask,
+            context=context, rng=rng, teacher_prob=teacher_prob,
+            tile_b=tile_b, compute_dtype=compute_dtype,
+        )
+        if out is not None:
+            return out
         return apply(
             params, cfg, past_n, future_n, rng=rng,
             teacher_prob=teacher_prob,

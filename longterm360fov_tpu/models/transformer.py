@@ -644,11 +644,20 @@ def serve_fused(
             # δv[l] = anchor @ in_proj @ wv[l] — the per-row rank-1
             # anchor correction the kernel subtracts from each layer's
             # peer-attend output (see the ANCHOR-CORRECTED note above).
-            # Tiny f32 matmuls: (B,D)·(D,H) then L× (B,H)·(H,H).
+            # Tiny f32 matmuls: (B,D)·(D,H) then L× (B,H)·(H,H); the
+            # f32 tier needs HIGHEST like the kernel (a default-
+            # precision dot runs as bf16 MXU passes on TPU and would
+            # put ~1e-3 rounding into an exactness correction).
+            _prec = (
+                jax.lax.Precision.HIGHEST
+                if compute_dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT
+            )
             e = jnp.dot(
                 peer_anchor.astype(jnp.float32),
                 jnp.asarray(params["in_proj"], jnp.float32),
                 preferred_element_type=jnp.float32,
+                precision=_prec,
             )
             peer_dv = jnp.stack(
                 [
@@ -658,6 +667,7 @@ def serve_fused(
                             layer["peer_attn"]["wv"], jnp.float32
                         ),
                         preferred_element_type=jnp.float32,
+                        precision=_prec,
                     )
                     for layer in params["dec"]
                 ],

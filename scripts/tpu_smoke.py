@@ -95,6 +95,41 @@ def main():
         ref=ref_tf, atol=3e-5,
     )
 
+    # lockstep-peer TRAINING kernel (ops.lstm_align, r5): fwd + grads
+    # vs the XLA aligned path with the same coins
+    afut = jnp.asarray(rng.normal(size=(16, 9, 3)).astype(np.float32) * 0.1)
+    acoins = jnp.asarray(
+        rng.integers(0, 2, size=(9, 16, 1)).astype(np.float32)
+    )
+
+    def _aligned_ref(p):
+        ctx = CU.encode_peers_aligned(p, acfg, peers, amask)
+        return S.apply(p, acfg, past, afut, coins=acoins, context=ctx)
+
+    al_ref = _aligned_ref(aparams)
+    check(
+        "lstm_align fwd",
+        lambda: CU._apply_fused_aligned(
+            aparams, acfg, past, afut, other_future_n=peers,
+            other_mask=amask, context=None, coins=acoins, tile_b=8,
+        ),
+        ref=al_ref, atol=3e-5,
+    )
+
+    def _al_loss_ref(p):
+        return jnp.mean(_aligned_ref(p) ** 2)
+
+    def _al_loss_fused(p):
+        return jnp.mean(CU._apply_fused_aligned(
+            p, acfg, past, afut, other_future_n=peers,
+            other_mask=amask, context=None, coins=acoins, tile_b=8,
+        ) ** 2)
+
+    check(
+        "lstm_align grads", jax.grad(_al_loss_fused), aparams,
+        ref=jax.grad(_al_loss_ref)(aparams), atol=5e-4,
+    )
+
     def loss_fused(p):
         return jnp.mean(S.apply_fused_tf(p, cfg, past, fut, tile_b=8) ** 2)
 
@@ -246,6 +281,36 @@ def main():
             ),
             ref=gref, atol=5e-5,
         )
+
+    # anchor-corrected shared tier (r5): raw group sets + per-row δv ==
+    # per-row tier on anchored copies (the production dedup contract)
+    anch = jnp.asarray(
+        rng.normal(size=(256, 3)).astype(np.float32) * 0.1
+    )
+    with jax.default_matmul_precision("highest"):
+        aref = jax.block_until_ready(TR.apply(
+            tparams, tcfg, past256s,
+            other_future_n=jnp.take(gfut, gid, axis=0)
+            - anch[:, None, None, :],
+            other_mask=jnp.take(gmask2, gid, axis=0),
+        ))
+    def _anchor_corrected():
+        # serve_fused's XLA pre-stages (_peer_tokens/_encode) must run
+        # at the same precision as the reference above — on TPU the
+        # default lowers f32 dots to bf16 passes (~1e-2 drift), which
+        # would mask/flag kernel issues either way
+        with jax.default_matmul_precision("highest"):
+            return TR.serve_fused(
+                tparams, tcfg, past256s, group_future_n=gfut,
+                group_mask=gmask2, peer_gid=gid, peer_anchor=anch,
+                compute_dtype=jnp.float32, fused_encoder=False,
+            )
+
+    check(
+        "transformer_decode shared-peer anchor-corrected tier",
+        _anchor_corrected,
+        ref=aref, atol=5e-5,
+    )
 
     # conv+resize
     frames = jnp.asarray(rng.normal(size=(3, 48, 96)).astype(np.float32))
