@@ -181,6 +181,7 @@ def _apply_fused_aligned(
     coins="bernoulli",
     tile_b: int = 1024,
     compute_dtype=None,
+    residual_dtype=jnp.bfloat16,
 ):
     """Training forward for cfg.peer_align on the LOCKSTEP-peer fused
     kernel (ops.lstm_align, r5): the K peer encoders advance inside the
@@ -241,11 +242,17 @@ def _apply_fused_aligned(
         m = other_mask.astype(jnp.float32)
         pwt = m / jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
     kw = {} if compute_dtype is None else {"compute_dtype": compute_dtype}
+    # bf16 residual streams by default (ops.lstm_ss's contract; loss
+    # delta ~2e-6): the f32 residual set at the K=7/100f preset shape
+    # put the backward's scoped-vmem stack 4% over the 16 MB limit at
+    # the minimum 128-row tile (measured OOM, r5) — halving the
+    # streamed hs/cs/gs/peer-h/peer-c blocks is the difference between
+    # compiling and not
     return aligned_ss_decode(
         params["decoder"], params["proj"]["w"].astype(jnp.float32),
         params["proj"]["b"].astype(jnp.float32),
         params["peer_encoder"], hT, cT, y0, teacher_tm, pxs_tm,
-        (coins_tm, pwt), tile_b, jnp.float32, **kw,
+        (coins_tm, pwt), tile_b, residual_dtype, **kw,
     )
 
 

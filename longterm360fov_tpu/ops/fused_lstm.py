@@ -287,6 +287,7 @@ def _serve_kernel(
     tile_b: int,
     compute_dtype,
     n_peers: int = 0,
+    probe: str = "",
 ):
     """refs layout:
     inputs:  xs (D, T_in, B) past window,
@@ -355,17 +356,31 @@ def _serve_kernel(
     def cell(buf, l, in_l, w_refs, b_refs):
         # weights arrive pre-cast to compute_dtype (cast hoisted out of
         # the kernel — an in-loop cast would re-convert every step)
-        gates = (
-            jnp.dot(buf[:], w_refs[l][:],
-                    preferred_element_type=jnp.float32)
-            + b_refs[l][:]
-        )
-        i = jax.nn.sigmoid(gates[:, :hidden])
-        f = jax.nn.sigmoid(gates[:, hidden : 2 * hidden])
-        g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
-        o = jax.nn.sigmoid(gates[:, 3 * hidden :])
-        c_new = f * c_s[l] + i * g
-        h_new = o * jnp.tanh(c_new)
+        #
+        # ``probe`` is a MEASUREMENT-ONLY mode (scripts/serve_decomp.py
+        # roofline decomposition — outputs are garbage by design):
+        # "mm" strips the gate transcendentals (matmul-only floor at
+        # the kernel's exact tiles), "vpu" replaces the matmul with a
+        # cheap broadcast (gate-chain-only floor). Production callers
+        # never set it.
+        if probe == "vpu":
+            gates = buf[:, :1].astype(jnp.float32) + b_refs[l][:]
+        else:
+            gates = (
+                jnp.dot(buf[:], w_refs[l][:],
+                        preferred_element_type=jnp.float32)
+                + b_refs[l][:]
+            )
+        if probe == "mm":
+            c_new = gates[:, hidden : 2 * hidden]
+            h_new = gates[:, :hidden]
+        else:
+            i = jax.nn.sigmoid(gates[:, :hidden])
+            f = jax.nn.sigmoid(gates[:, hidden : 2 * hidden])
+            g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
+            o = jax.nn.sigmoid(gates[:, 3 * hidden :])
+            c_new = f * c_s[l] + i * g
+            h_new = o * jnp.tanh(c_new)
         c_s[l] = c_new
         buf[:, in_l:] = h_new.astype(buf.dtype)
         return h_new
@@ -499,6 +514,8 @@ def fused_serve(
     peer_w=None,  # (B, K) mask weights: mask / max(sum(mask), 1)
     tile_b: int = 2048,
     compute_dtype=jnp.float32,
+    _probe: str = "",  # "mm"|"vpu": roofline probe modes (outputs are
+    # garbage by design) — scripts/serve_decomp.py ONLY
 ) -> jax.Array:
     """Whole serve request — encode + autoregressive decode — in ONE
     pallas_call → (B, t_out, D) normalized predictions.
@@ -564,6 +581,7 @@ def fused_serve(
         tile_b=tile_b,
         compute_dtype=compute_dtype,
         n_peers=n_peers,
+        probe=_probe,
     )
 
     in_specs = [

@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--computes", default="float32,bfloat16")
     ap.add_argument("--peers", type=int, default=None,
                     help="override the preset's peer-context size K")
+    ap.add_argument("--impl", default=None, choices=("auto", "xla", "fused"),
+                    help="override cfg.train_impl (xla = force the scan "
+                    "path; the aligned-train A/B)")
     ap.add_argument("--out", default="bench_train.jsonl")
     args = ap.parse_args()
 
@@ -46,6 +49,8 @@ def main():
     base = get_preset(args.preset)
     if args.peers is not None:
         base = dataclasses.replace(base, n_other_users=args.peers)
+    if args.impl is not None:
+        base = dataclasses.replace(base, train_impl=args.impl)
     fam = get_family(base.model_family)
     host = make_batch(base, args.batch, with_future=True)
     batch = {k: jnp.asarray(v) for k, v in host.items()}
@@ -103,6 +108,7 @@ def main():
         row = {
             "preset": args.preset, "batch": args.batch,
             "peers": base.n_other_users,
+            "train_impl": base.train_impl,
             "train_compute": tc,
             "compile_s": round(compile_s, 1),
             "steps_per_s": round(sps, 2),

@@ -149,10 +149,27 @@ def main():
         y, _ = jax.lax.scan(body, z, None, length=vpu_iters)
         return jnp.sum(y[:1, :1])
 
+    # in-kernel probes (the honest bounds — the XLA chains above are
+    # HBM-bound at these operand sizes, measured r5): the SAME serve
+    # kernel with the gate transcendentals stripped (matmul-only floor
+    # at the exact tiles) or the matmul replaced by a broadcast
+    # (gate-chain-only floor). Outputs are garbage by design; only the
+    # wall time means anything.
+    f_probe_mm = jax.jit(lambda x: jnp.sum(
+        fused_serve(enc_p, dec_p, pw, pb, x, t_out,
+                    compute_dtype=jnp.float32, _probe="mm")
+    ))
+    f_probe_vpu = jax.jit(lambda x: jnp.sum(
+        fused_serve(enc_p, dec_p, pw, pb, x, t_out,
+                    compute_dtype=jnp.float32, _probe="vpu")
+    ))
+
     variants = {
         "fused": lambda: f_fused_f32(past_n),
         "fused_bf16": lambda: f_fused_bf16(past_n),
         "serve_path": lambda: jnp.sum(serve_full(past)),
+        "pk_mm": lambda: f_probe_mm(past_n),
+        "pk_vpu": lambda: f_probe_vpu(past_n),
         "mm_bound": lambda: mm_chain(x0p),
         "vpu_bound": lambda: vpu_chain(z0p),
     }
@@ -184,6 +201,7 @@ def main():
         "fused": mm_flops,
         "fused_bf16": mm_flops,
         "serve_path": mm_flops,
+        "pk_mm": mm_flops,
         "mm_bound": mm_iters * per_iter,
     }
     rows = []
@@ -211,13 +229,19 @@ def main():
         rows.append(row)
         print(json.dumps(row), flush=True)
 
-    mm_ms = float(np.array(times["mm_bound"]).min())
-    vpu_ms = float(np.array(times["vpu_bound"]).min())
+    mm_ms = float(np.array(times["pk_mm"]).min())
+    vpu_ms = float(np.array(times["pk_vpu"]).min())
     k_ms = float(np.array(times["fused"]).min())
     verdict = dict(
         kind="serve_decomp_r5", name="verdict", batch=b,
-        kernel_ms=round(k_ms, 2), mm_bound_ms=round(mm_ms, 2),
-        vpu_bound_ms=round(vpu_ms, 2),
+        kernel_ms=round(k_ms, 2), pk_mm_ms=round(mm_ms, 2),
+        pk_vpu_ms=round(vpu_ms, 2),
+        xla_mm_chain_ms=round(
+            float(np.array(times["mm_bound"]).min()), 2
+        ),
+        xla_vpu_chain_ms=round(
+            float(np.array(times["vpu_bound"]).min()), 2
+        ),
         sum_bound_ms=round(mm_ms + vpu_ms, 2),
         max_bound_ms=round(max(mm_ms, vpu_ms), 2),
         kernel_over_sum=round(k_ms / max(mm_ms + vpu_ms, 1e-9), 3),

@@ -123,6 +123,7 @@ def main():
         return jnp.mean(CU._apply_fused_aligned(
             p, acfg, past, afut, other_future_n=peers,
             other_mask=amask, context=None, coins=acoins, tile_b=8,
+            residual_dtype=jnp.float32,  # exact-parity tier
         ) ** 2)
 
     check(

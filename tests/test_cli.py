@@ -400,19 +400,29 @@ def test_predict_peer_group_shared_tier(tmp_path, capsys):
     """--peer-group: transformer predict through the GROUP-shared peer
     tier — one peer set per video, one K/V copy on the device; output
     rows carry the group's peer count and tile sets."""
-    ckpt = str(tmp_path / "ck")
-    # a transformer ckpt at a small horizon (fast on CPU)
-    cli.main(
-        ["train", "--preset", "transformer-30",
-         "--h-in", "10", "--h-out", "10",
-         "--steps", "2", "--batch-size", "8", "--ckpt-dir", ckpt]
-    )
+    import jax
+    import numpy as np
+
+    from longterm360fov_tpu import serving as SV
+    from longterm360fov_tpu.config import get_preset
+    from longterm360fov_tpu.models import get_family
+
+    # write init params straight to the export-npz contract (skips the
+    # transformer train-step compile — this test is about the predict
+    # path, not training)
+    cfg = get_preset("transformer-30", model_h_in=10, model_h_out=10)
+    fam = get_family("transformer")
+    params = fam.init(jax.random.PRNGKey(0), cfg.model)
+    npz = str(tmp_path / "params.npz")
+    np.savez(npz, **{
+        k: np.asarray(v) for k, v in SV.flat_param_items(params)
+    })
     capsys.readouterr()
     out_path = str(tmp_path / "pred.jsonl")
     cli.main(
         ["predict", "--preset", "transformer-30",
          "--h-in", "10", "--h-out", "10",
-         "--ckpt-dir", ckpt, "--at-frame", "400",
+         "--params", npz, "--at-frame", "400",
          "--peers", "2", "--peer-group", "--tiles", "--out", out_path]
     )
     rows = [json.loads(ln) for ln in open(out_path)]
@@ -422,14 +432,15 @@ def test_predict_peer_group_shared_tier(tmp_path, capsys):
     assert all("prefetch_tiles" in r for r in rows)
 
     # guard rails: non-transformer preset / missing --at-frame
+    # (both fire before any params load)
     with pytest.raises(SystemExit, match="transformer"):
         cli.main(
-            ["predict", "--preset", "lstm-xyz-10", "--ckpt-dir", ckpt,
+            ["predict", "--preset", "lstm-xyz-10", "--params", npz,
              "--peer-group", "--at-frame", "50"]
         )
     with pytest.raises(SystemExit, match="at-frame"):
         cli.main(
             ["predict", "--preset", "transformer-30",
              "--h-in", "10", "--h-out", "10",
-             "--ckpt-dir", ckpt, "--peer-group"]
+             "--params", npz, "--peer-group"]
         )

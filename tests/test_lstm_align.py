@@ -44,7 +44,11 @@ def _ref(params, cfg, past, fut, peers, mask, coins):
     return S.apply(params, cfg, past, fut, coins=coins, context=ctx)
 
 
-@pytest.mark.parametrize("layers,masked", [(1, True), (2, True), (2, False)])
+@pytest.mark.parametrize(
+    "layers,masked",
+    [pytest.param(1, True, marks=pytest.mark.slow), (2, True),
+     pytest.param(2, False, marks=pytest.mark.slow)],
+)
 def test_aligned_forward_parity(layers, masked):
     cfg, params, past, fut, peers, mask, coins = _setup(
         layers=layers, masked=masked
@@ -80,6 +84,7 @@ def test_aligned_grad_parity(layers, masked):
         out = CU._apply_fused_aligned(
             p, cfg, past_, fut_, other_future_n=peers_, other_mask=mask,
             context=None, coins=coins, tile_b=8,
+            residual_dtype=jnp.float32,  # exact-parity tier
         )
         return jnp.sum(out ** 2)
 
@@ -128,3 +133,24 @@ def test_aligned_fused_routing_fallbacks():
             params, cfg, past, fut, other_future_n=short,
             other_mask=mask, context=None, coins=coins,
         )
+
+
+@pytest.mark.slow
+def test_aligned_grad_bf16_residuals_close():
+    """The default (deployment) tier streams bf16 residuals — grads
+    stay close to the f32-residual exact tier (it is the residual
+    ENCODING that changes, not the math)."""
+    cfg, params, past, fut, peers, mask, coins = _setup(seed=4)
+
+    def loss(p, rd):
+        out = CU._apply_fused_aligned(
+            p, cfg, past, fut, other_future_n=peers, other_mask=mask,
+            context=None, coins=coins, tile_b=8, residual_dtype=rd,
+        )
+        return jnp.sum(out ** 2)
+
+    g32 = jax.grad(lambda p: loss(p, jnp.float32))(params)
+    g16 = jax.grad(lambda p: loss(p, jnp.bfloat16))(params)
+    for a, b_ in zip(jax.tree.leaves(g32), jax.tree.leaves(g16)):
+        denom = max(float(jnp.abs(a).max()), 1e-3)
+        assert float(jnp.abs(a - b_).max()) / denom < 0.03

@@ -72,6 +72,7 @@ def test_grad_parity(layers):
         )
 
 
+@pytest.mark.slow
 def test_batch_tiling_grad():
     rng = np.random.default_rng(2)
     b, t, d, h = 16, 5, 3, 128
@@ -227,6 +228,7 @@ def test_bf16_compute_tier_close():
         assert float(jnp.abs(a - b_).max()) / denom < 0.06
 
 
+@pytest.mark.slow
 def test_apply_fused_tf_bf16_compute_train_step():
     """End-to-end: a train step with train_compute=bfloat16 produces a
     finite loss near the f32 step's."""

@@ -55,6 +55,7 @@ def test_metrics_writer(tmp_path):
     assert rows[1]["extra"] == "x"
 
 
+@pytest.mark.slow
 def test_tensorboard_writer(tmp_path):
     pytest.importorskip("tensorflow")
     from longterm360fov_tpu.utils.profiling import TensorBoardWriter

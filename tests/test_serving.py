@@ -972,6 +972,7 @@ def test_group_pack_structure():
     assert np.array_equal(karr[perm], np.asarray(uniq)[gid])
 
 
+@pytest.mark.slow
 def test_group_pack_end_to_end_grouped_serve():
     """pack → grouped serve_fused → unpack == per-row serve_fused on the
     original (unsorted) batch."""

@@ -45,6 +45,7 @@ def test_fused_ar_decode_parity(layers, h_in, h_out, b, batched_heads):
     )
 
 
+@pytest.mark.slow
 def test_fused_ar_decode_batch_tiling():
     cfg, params, past = _setup(b=16, seed=3)
     ref = TR.apply(params, cfg, past)
@@ -298,6 +299,7 @@ def test_peer_window_parity_and_effect(w, pool):
     )
 
 
+@pytest.mark.slow
 def test_peer_window_training_consistency():
     """The parallel (training) pass applies the same temporal window:
     teacher-forced logits differ from the unwindowed model's."""
@@ -475,6 +477,7 @@ def test_anchor_corrected_shared_matches_per_row_anchored(w, pool):
     )
 
 
+@pytest.mark.slow
 def test_anchor_corrected_shared_xla_fallback_matches():
     """Over-budget grouped configs expand per-row WITH the anchor
     applied (the fallback twin of the δv correction)."""

@@ -61,6 +61,7 @@ def test_fused_encode_batch_tiling_grid2():
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fused_encode_bf16_close():
     """bf16 single-pass tier drifts but stays close (same contract as
     the decode kernel's bf16 tier)."""
