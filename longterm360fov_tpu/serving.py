@@ -1201,6 +1201,13 @@ class FovServer(socketserver.ThreadingTCPServer):
 
     daemon_threads = True
     allow_reuse_address = True
+    # stdlib default listen backlog is 5: a burst of simultaneous
+    # connects (e.g. 64 closed-loop clients arriving together, each
+    # carrying a ~45 KB K=7/100f peer payload that stalls the accept
+    # loop behind JSON parsing) overflows it and the kernel RESETS the
+    # excess connections (measured: bench_daemon --clients 64 --peers 7
+    # lost 2/64 connects at the record preset, r5)
+    request_queue_size = 128
 
     def __init__(
         self,

@@ -49,6 +49,15 @@ def main():
         "--preset stacked-ss-crossuser-10s — with live context on the "
         "wire)",
     )
+    ap.add_argument(
+        "--groups", type=int, default=0,
+        help="with --bulk and --peers: G>0 sends the GROUPED wire form "
+        "(group_key per row + one group_sets K-set per video) instead "
+        "of per-row other_future — the production dedup format: peer "
+        "windows cross the wire once per video, not once per viewer "
+        "(transformer presets additionally route the shared-KV kernel; "
+        "LSTM families expand server-side with identical semantics)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -82,7 +91,18 @@ def main():
     past /= np.linalg.norm(past, axis=-1, keepdims=True)
     payload = past.tolist() if args.bulk else past[0].tolist()
     peer_extras = {}
-    if args.peers:
+    if args.peers and args.groups and args.bulk:
+        k, t, g = args.peers, cfg.model.h_out, args.groups
+        sets = {}
+        for gi in range(g):
+            s = rng.normal(size=(k, t, 3)).astype(np.float32)
+            s /= np.linalg.norm(s, axis=-1, keepdims=True)
+            sets[f"v{gi}"] = s.tolist()
+        peer_extras = {
+            "group_key": [f"v{i % g}" for i in range(args.bulk)],
+            "group_sets": sets,
+        }
+    elif args.peers:
         k, t = args.peers, cfg.model.h_out
         of = rng.normal(
             size=(max(args.bulk, 1), k, t, 3)
@@ -103,6 +123,17 @@ def main():
     barrier = threading.Barrier(args.clients + 1)
 
     def worker(i):
+        # a worker that dies before the barrier would hang the whole
+        # bench (main waits for clients+1 parties) — abort instead so
+        # the run fails loudly (seen with the pre-r5 listen-backlog
+        # connection resets)
+        try:
+            _worker(i)
+        except Exception:
+            barrier.abort()
+            raise
+
+    def _worker(i):
         c = serving.FovClient(host, port)
         try:
             if args.bulk:
@@ -150,6 +181,7 @@ def main():
         "requests": n,
         "bulk": args.bulk,
         "peers": args.peers,
+        "groups": args.groups,
         "pipeline_depth": args.pipeline_depth,
         "req_per_s": round(n / wall, 1),
         "windows_per_s": round(n * max(args.bulk, 1) / wall, 1),
