@@ -9,6 +9,9 @@ test: native  ## fast tier (slow-marked kernel/mesh parity tests excluded)
 	python -m pytest tests/ -x -q -m "not slow"
 
 test-all: native  ## full suite incl. slow interpret-mode kernel parity
+	# pytest-xdist measured SLOWER here (-n 4 = +14% on the slow
+	# transformer_decode subset): this host has 1 CPU core and the
+	# suite is compute-bound; revisit only on a multi-core box.
 	python -m pytest tests/ -x -q
 
 bench:  ## headline JSON line (runs on the TPU)
