@@ -33,7 +33,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument(
+        "--steps", type=int, default=None,
+        help="explicit step count overrides every variant (smoke runs); "
+        "default: 4000, or the variant's own steps (e.g. the s8000 arm)",
+    )
     ap.add_argument("--seeds", default="0,1,2")
     ap.add_argument("--only", help="comma-separated variant filter")
     ap.add_argument("--log", default="experiments.jsonl")
@@ -82,6 +86,21 @@ def main():
         ("stacked-ss-crossuser-100-align-k7-gc02", "stacked-ss-crossuser",
          100, True,
          {"model_peer_align": True, "n_other_users": 7, "gc_weight": 0.2}),
+        # r5 continuation probes: with K exhausted (7 = every other
+        # viewer in the store) and both VERDICT task-8 arms rejected,
+        # the two unexplored axes of the record recipe are training
+        # length and capacity. Same store/split, adopt-or-reject.
+        # (a) 2x the optimization budget ("steps" is a per-variant
+        #     override here, not a get_preset field collision)
+        ("stacked-ss-crossuser-100-align-k7-s8000", "stacked-ss-crossuser",
+         100, True,
+         {"model_peer_align": True, "n_other_users": 7, "steps": 8000}),
+        # (b) 1.5x hidden width (128 -> 192): the families are tiny by
+        #     design; 100f is the horizon where capacity could bind
+        ("stacked-ss-crossuser-100-align-k7-h192", "stacked-ss-crossuser",
+         100, True,
+         {"model_peer_align": True, "n_other_users": 7,
+          "model_hidden": 192}),
     ]
     only = set(args.only.split(",")) if args.only else None
     seeds = [int(s) for s in args.seeds.split(",")]
@@ -105,10 +124,12 @@ def main():
         if only and name not in only:
             continue
         per_seed = []
+        vsteps = over.pop("steps", None)
+        steps = args.steps if args.steps is not None else (vsteps or 4000)
         for seed in seeds:
             cfg = get_preset(
                 preset, model_h_in=h_in, model_h_out=100,
-                steps=args.steps, eval_every=args.steps, seed=seed,
+                steps=steps, eval_every=steps, seed=seed,
                 **over,
             )
             fam = get_family(cfg.model_family)
