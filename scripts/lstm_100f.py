@@ -101,6 +101,16 @@ def main():
          100, True,
          {"model_peer_align": True, "n_other_users": 7,
           "model_hidden": 192}),
+        # (c) LR schedule: the transformer presets train under
+        #     warmup+cosine (warmup_steps=300) but every LSTM recipe has
+        #     only ever seen flat lr=1e-3 — the one cheap axis the
+        #     budget/capacity probes left open (cosine's end-of-train
+        #     annealing is also the usual fix for the s8000 arm's
+        #     late-training overfit signature)
+        ("stacked-ss-crossuser-100-align-k7-cos", "stacked-ss-crossuser",
+         100, True,
+         {"model_peer_align": True, "n_other_users": 7,
+          "warmup_steps": 200}),
     ]
     only = set(args.only.split(",")) if args.only else None
     seeds = [int(s) for s in args.seeds.split(",")]
