@@ -41,6 +41,7 @@ import json
 import queue
 import socket
 import socketserver
+import struct
 import threading
 import time
 from collections import OrderedDict, deque
@@ -49,6 +50,8 @@ from typing import Callable, Dict, Optional, Tuple
 import numpy as np
 
 __all__ = [
+    "encode_frame",
+    "read_frame",
     "DynamicBatcher",
     "group_pack",
     "grouped_predict",
@@ -1135,11 +1138,162 @@ class PeerPool:
 # --------------------------------------------------------------------------
 
 
+# --------------------------------------------------------------------------
+# binary wire frames — the bulk-path fast wire
+# --------------------------------------------------------------------------
+#
+# The r5 daemon benchmark at the record preset (stacked-ss-crossuser-10s,
+# K=7, h=100) measured the bulk gateway WIRE-bound: JSON-encoding each
+# (h_in, 3) window costs ~6 KB and each grouped peer set ~45 KB, and the
+# text round trip caps grouped bulk serving at ~939 windows/s while the
+# device program itself runs 427K traj/s. A binary frame moves arrays as
+# raw little-endian bytes (numpy tobytes/frombuffer — memcpy both ways)
+# while keeping everything else (op, id, group keys) as a JSON header, so
+# the protocol surface is IDENTICAL to the line-JSON ops.
+#
+#   frame   := b"FoVB" | u32 header_len | header | payload
+#   header  := UTF-8 JSON of the request/reply dict, with every ndarray
+#              value replaced by a manifest entry under "__bin__":
+#              [{"path": [key, ...], "dtype": "<f4", "shape": [...]}, ...]
+#   payload := the arrays' raw bytes, concatenated in manifest order
+#
+# Both wire forms are served on the same port and may interleave on one
+# connection: the handler sniffs the first byte ('{' = JSON line, 'F' =
+# binary frame). Binary requests get binary replies (yaw/pitch f32,
+# prefetch as a u8 tile mask instead of index lists).
+
+_BIN_MAGIC = b"FoVB"
+_BIN_HDR = struct.Struct("<I")
+_BIN_MAX_HEADER = 16 << 20  # 16 MB of JSON header
+_BIN_MAX_PAYLOAD = 1 << 30  # 1 GB of array payload per frame
+# dtype whitelist: fixed-width little-endian numerics only (never object/
+# structured dtypes — a hostile manifest must not be able to allocate
+# arbitrary Python objects)
+_BIN_DTYPES = ("<f4", "<f8", "<i4", "<i8", "|u1", "|b1")
+
+
+def _strip_arrays(node, path, manifest, chunks):
+    """Replace ndarray leaves with manifest entries; return the JSON node."""
+    if isinstance(node, np.ndarray):
+        arr = np.ascontiguousarray(node)
+        if arr.dtype.str not in _BIN_DTYPES:
+            if arr.dtype == np.bool_:
+                arr = arr.astype(np.uint8)
+            elif np.issubdtype(arr.dtype, np.floating):
+                arr = arr.astype("<f4")
+            elif np.issubdtype(arr.dtype, np.integer):
+                arr = arr.astype("<i4")
+            else:
+                raise TypeError(f"cannot wire dtype {arr.dtype} at {path}")
+        manifest.append(
+            {"path": path, "dtype": arr.dtype.str, "shape": list(arr.shape)}
+        )
+        chunks.append(arr.tobytes())
+        return None  # placeholder; decode re-attaches by path
+    if isinstance(node, dict):
+        return {
+            k: _strip_arrays(v, path + [k], manifest, chunks)
+            for k, v in node.items()
+        }
+    return node
+
+
+def encode_frame(obj: Dict) -> bytes:
+    """Encode a request/reply dict (ndarray values allowed anywhere in
+    the nested-dict structure) as one binary wire frame."""
+    manifest: list = []
+    chunks: list = []
+    clean = _strip_arrays(obj, [], manifest, chunks)
+    clean["__bin__"] = manifest
+    header = json.dumps(clean).encode()
+    return b"".join(
+        [_BIN_MAGIC, _BIN_HDR.pack(len(header)), header, *chunks]
+    )
+
+
+def _read_exact(rfile, n: int) -> bytes:
+    buf = rfile.read(n)
+    if len(buf) != n:
+        raise ConnectionError(
+            f"stream ended mid-frame ({len(buf)}/{n} bytes)"
+        )
+    return buf
+
+
+def read_frame(rfile, first: bytes = b"") -> Dict:
+    """Read one binary frame from a buffered stream and rebuild the dict
+    (arrays re-attached at their manifest paths as numpy views). ``first``
+    carries magic bytes a protocol sniffer already consumed."""
+    magic = first + _read_exact(rfile, len(_BIN_MAGIC) - len(first))
+    if magic != _BIN_MAGIC:
+        raise ValueError(f"bad frame magic {magic!r}")
+    (hlen,) = _BIN_HDR.unpack(_read_exact(rfile, _BIN_HDR.size))
+    if hlen > _BIN_MAX_HEADER:
+        raise ValueError(f"frame header {hlen} bytes exceeds the cap")
+    obj = json.loads(_read_exact(rfile, hlen))
+    manifest = obj.pop("__bin__", [])
+    total = 0
+    for ent in manifest:
+        if ent["dtype"] not in _BIN_DTYPES:
+            raise ValueError(f"dtype {ent['dtype']!r} not on the wire whitelist")
+        n = int(np.prod(ent["shape"], dtype=np.int64)) if ent["shape"] else 1
+        total += n * np.dtype(ent["dtype"]).itemsize
+    if total > _BIN_MAX_PAYLOAD:
+        raise ValueError(f"frame payload {total} bytes exceeds the cap")
+    payload = _read_exact(rfile, total)
+    off = 0
+    for ent in manifest:
+        dt = np.dtype(ent["dtype"])
+        shape = tuple(ent["shape"])
+        n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+        arr = np.frombuffer(payload, dt, count=n, offset=off).reshape(shape)
+        off += n * dt.itemsize
+        node = obj
+        *parents, leaf = ent["path"]
+        for key in parents:
+            nxt = node.get(key)
+            if not isinstance(nxt, dict):
+                nxt = {}
+                node[key] = nxt
+            node = nxt
+        node[leaf] = arr
+    return obj
+
+
 class _Handler(socketserver.StreamRequestHandler):
     def handle(self):
         srv: "FovServer" = self.server  # type: ignore[assignment]
-        for raw in self.rfile:
-            raw = raw.strip()
+        while True:
+            first = self.rfile.read(1)
+            if not first:
+                break
+            if first in (b"\n", b"\r", b" "):
+                continue
+            if first == _BIN_MAGIC[:1]:
+                # binary frame (fast wire). A frame that fails to DECODE
+                # desyncs the byte stream, so answer and close; a request
+                # that fails to DISPATCH leaves the stream clean, so
+                # answer and keep serving (same contract as JSON lines).
+                try:
+                    req = read_frame(self.rfile, first=first)
+                except Exception as e:  # noqa: BLE001
+                    self.wfile.write(encode_frame(
+                        {"id": None,
+                         "error": f"{type(e).__name__}: {e}"}
+                    ))
+                    self.wfile.flush()
+                    break
+                try:
+                    resp = srv.dispatch_op(req, raw_arrays=True)
+                except Exception as e:  # noqa: BLE001
+                    resp = {
+                        "id": req.get("id"),
+                        "error": f"{type(e).__name__}: {e}",
+                    }
+                self.wfile.write(encode_frame(resp))
+                self.wfile.flush()
+                continue
+            raw = (first + self.rfile.readline()).strip()
             if not raw:
                 continue
             try:
@@ -1243,7 +1397,7 @@ class FovServer(socketserver.ThreadingTCPServer):
     # (named dispatch_op, NOT handle_request: BaseServer.handle_request()
     # is an inherited zero-arg stdlib API we must not shadow)
 
-    def dispatch_op(self, req: Dict) -> Dict:
+    def dispatch_op(self, req: Dict, *, raw_arrays: bool = False) -> Dict:
         op = req.get("op", "predict")
         rid = req.get("id")
         if op == "predict":
@@ -1257,7 +1411,7 @@ class FovServer(socketserver.ThreadingTCPServer):
                 timeout=self.request_timeout,
                 **extras,
             )
-            return self._prediction(rid, res)
+            return self._prediction(rid, res, raw=raw_arrays)
         if op == "predict_batch":
             # bulk path for gateway-style clients: one line carries N
             # windows (and optional per-window extras), one reply carries
@@ -1290,7 +1444,7 @@ class FovServer(socketserver.ThreadingTCPServer):
                     host = grouped_predict(
                         self.grouped_fn, pasts, gkeys, sets, masks
                     )
-                    return self._bulk_reply(rid, host)
+                    return self._bulk_reply(rid, host, raw=raw_arrays)
                 # family without the shared tier: expand the shared sets
                 # to per-row extras and ride the normal bulk path
                 # (identical semantics, per-row device cost)
@@ -1329,7 +1483,7 @@ class FovServer(socketserver.ThreadingTCPServer):
                 )
                 for k in parts[0]
             }
-            return self._bulk_reply(rid, host)
+            return self._bulk_reply(rid, host, raw=raw_arrays)
         if op == "push":
             viewer = str(req["viewer"])
             xyz = pose_to_xyz(req["pose"])
@@ -1351,7 +1505,7 @@ class FovServer(socketserver.ThreadingTCPServer):
             res = self.batcher.predict(
                 window, timeout=self.request_timeout, **extras
             )
-            out = self._prediction(rid, res)
+            out = self._prediction(rid, res, raw=raw_arrays)
             if self.peers is not None:
                 out["peers"] = n_peers
             return out
@@ -1385,7 +1539,20 @@ class FovServer(socketserver.ThreadingTCPServer):
         raise ValueError(f"unknown op {op!r}")
 
     @staticmethod
-    def _prediction(rid, res: Dict) -> Dict:
+    def _prediction(rid, res: Dict, raw: bool = False) -> Dict:
+        if raw:
+            # binary wire: f32 trajectories + u8 tile mask, no rounding,
+            # no Python lists (encode_frame memcpys them out)
+            out = {
+                "id": rid,
+                "yaw": np.asarray(res["yaw"], np.float32),
+                "pitch": np.asarray(res["pitch"], np.float32),
+            }
+            if "prefetch" in res:
+                out["prefetch"] = np.asarray(
+                    res["prefetch"]
+                ).astype(np.uint8)
+            return out
         out = {
             "id": rid,
             "yaw": np.round(
@@ -1400,7 +1567,16 @@ class FovServer(socketserver.ThreadingTCPServer):
         return out
 
     @staticmethod
-    def _bulk_reply(rid, host: Dict) -> Dict:
+    def _bulk_reply(rid, host: Dict, raw: bool = False) -> Dict:
+        if raw:
+            out = {
+                "id": rid,
+                "yaw": host["yaw"].astype(np.float32, copy=False),
+                "pitch": host["pitch"].astype(np.float32, copy=False),
+            }
+            if "prefetch" in host:
+                out["prefetch"] = host["prefetch"].astype(np.uint8)
+            return out
         out = {
             "id": rid,
             "yaw": np.round(host["yaw"].astype(np.float64), 6).tolist(),
@@ -1416,21 +1592,39 @@ class FovServer(socketserver.ThreadingTCPServer):
 
 
 class FovClient:
-    """Blocking line-JSON client (one in-flight request per connection;
-    open several clients — or threads with one client each — to exercise
-    server-side batching)."""
+    """Blocking client (one in-flight request per connection; open
+    several clients — or threads with one client each — to exercise
+    server-side batching).
 
-    def __init__(self, host: str, port: int, timeout: float = 30.0):
+    ``wire="json"`` (default) speaks line-JSON; ``wire="binary"`` speaks
+    the :func:`encode_frame` fast wire — request values may then be
+    numpy arrays (sent as raw bytes) and replies come back with numpy
+    arrays (``yaw``/``pitch`` f32, ``prefetch`` a u8 tile mask instead
+    of index lists). Both wires hit the same server ops on one port."""
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        timeout: float = 30.0,
+        wire: str = "json",
+    ):
+        if wire not in ("json", "binary"):
+            raise ValueError(f"wire must be 'json' or 'binary', got {wire!r}")
         self._sock = socket.create_connection((host, port), timeout=timeout)
         self._rfile = self._sock.makefile("rb")
         self._lock = threading.Lock()
         self._next_id = 0
+        self._wire = wire
 
     def request(self, obj: Dict) -> Dict:
         with self._lock:
             if "id" not in obj:
                 self._next_id += 1
                 obj = {**obj, "id": self._next_id}
+            if self._wire == "binary":
+                self._sock.sendall(encode_frame(obj))
+                return read_frame(self._rfile)
             self._sock.sendall((json.dumps(obj) + "\n").encode())
             line = self._rfile.readline()
             if not line:

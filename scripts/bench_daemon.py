@@ -58,6 +58,13 @@ def main():
         "(transformer presets additionally route the shared-KV kernel; "
         "LSTM families expand server-side with identical semantics)",
     )
+    ap.add_argument(
+        "--wire", default="json", choices=("json", "binary"),
+        help="transport encoding: line-JSON (reference wire) or the "
+        "binary frame protocol (arrays as raw f32 bytes — the r5 daemon "
+        "bench measured the bulk path WIRE-bound on JSON at the record "
+        "preset: 939 windows/s vs 427K traj/s device-side)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -85,11 +92,13 @@ def main():
     host, port = server.server_address
 
     rng = np.random.default_rng(0)
+    # binary wire ships numpy arrays as-is; JSON needs .tolist()
+    enc = (lambda a: a) if args.wire == "binary" else (lambda a: a.tolist())
     past = rng.normal(
         size=(max(args.bulk, 1), cfg.model.h_in, 3)
     ).astype(np.float32)
     past /= np.linalg.norm(past, axis=-1, keepdims=True)
-    payload = past.tolist() if args.bulk else past[0].tolist()
+    payload = enc(past) if args.bulk else enc(past[0])
     peer_extras = {}
     if args.peers and args.groups and args.bulk:
         k, t, g = args.peers, cfg.model.h_out, args.groups
@@ -97,7 +106,7 @@ def main():
         for gi in range(g):
             s = rng.normal(size=(k, t, 3)).astype(np.float32)
             s /= np.linalg.norm(s, axis=-1, keepdims=True)
-            sets[f"v{gi}"] = s.tolist()
+            sets[f"v{gi}"] = enc(s)
         peer_extras = {
             "group_key": [f"v{i % g}" for i in range(args.bulk)],
             "group_sets": sets,
@@ -111,12 +120,12 @@ def main():
         mask = np.ones((max(args.bulk, 1), k), np.float32)
         if args.bulk:
             peer_extras = {
-                "other_future": of.tolist(), "other_mask": mask.tolist()
+                "other_future": enc(of), "other_mask": enc(mask)
             }
         else:
             peer_extras = {
-                "other_future": of[0].tolist(),
-                "other_mask": mask[0].tolist(),
+                "other_future": enc(of[0]),
+                "other_mask": enc(mask[0]),
             }
 
     lat = [[] for _ in range(args.clients)]
@@ -134,7 +143,7 @@ def main():
             raise
 
     def _worker(i):
-        c = serving.FovClient(host, port)
+        c = serving.FovClient(host, port, wire=args.wire)
         try:
             if args.bulk:
                 req = {
@@ -182,6 +191,7 @@ def main():
         "bulk": args.bulk,
         "peers": args.peers,
         "groups": args.groups,
+        "wire": args.wire,
         "pipeline_depth": args.pipeline_depth,
         "req_per_s": round(n / wall, 1),
         "windows_per_s": round(n * max(args.bulk, 1) / wall, 1),

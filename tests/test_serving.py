@@ -912,6 +912,155 @@ def test_server_error_reply_keeps_connection(live_server):
 
 
 # -------------------------------------------------------------------------
+# binary wire frames (the bulk-path fast wire)
+# -------------------------------------------------------------------------
+
+
+def test_binary_frame_codec_roundtrip():
+    """encode_frame → read_frame is the identity on nested dicts mixing
+    JSON scalars with ndarray leaves (incl. second-level group_sets)."""
+    import io
+
+    obj = {
+        "op": "predict_batch",
+        "id": 7,
+        "past": np.arange(30, dtype=np.float32).reshape(2, 5, 3),
+        "group_key": ["v0", "v1"],
+        "group_sets": {
+            "v0": np.ones((2, 4, 3), np.float32),
+            "v1": np.full((2, 4, 3), 2.0, np.float32),
+        },
+        "group_masks": {"v0": np.ones(2, np.float32),
+                        "v1": np.zeros(2, np.float32)},
+        "note": "scalars survive",
+    }
+    frame = serving.encode_frame(obj)
+    got = serving.read_frame(io.BytesIO(frame))
+    assert got["op"] == "predict_batch" and got["id"] == 7
+    assert got["note"] == "scalars survive"
+    assert got["group_key"] == ["v0", "v1"]
+    np.testing.assert_array_equal(got["past"], obj["past"])
+    assert got["past"].dtype == np.float32
+    for k in ("v0", "v1"):
+        np.testing.assert_array_equal(
+            got["group_sets"][k], obj["group_sets"][k]
+        )
+        np.testing.assert_array_equal(
+            got["group_masks"][k], obj["group_masks"][k]
+        )
+    # bool arrays ride as u8; f64 stays f64; int32 stays
+    obj2 = {"m": np.array([True, False]), "d": np.ones(3),
+            "i": np.arange(4, dtype=np.int32)}
+    got2 = serving.read_frame(io.BytesIO(serving.encode_frame(obj2)))
+    np.testing.assert_array_equal(got2["m"], np.array([1, 0], np.uint8))
+    assert got2["d"].dtype == np.float64
+    assert got2["i"].dtype == np.int32
+
+
+def test_binary_frame_rejects_hostile_manifest():
+    import io
+
+    # dtype outside the whitelist must not be materialized
+    frame = serving.encode_frame({"x": np.ones(2, np.float32)})
+    bad = frame.replace(b"<f4", b"|O8")
+    with pytest.raises(ValueError, match="whitelist"):
+        serving.read_frame(io.BytesIO(bad))
+    # truncated payload fails loudly, not with a short array
+    with pytest.raises(ConnectionError):
+        serving.read_frame(io.BytesIO(frame[:-1]))
+    with pytest.raises(ValueError, match="magic"):
+        serving.read_frame(io.BytesIO(b"XXXX" + frame[4:]))
+
+
+def test_server_binary_wire_matches_json(live_server):
+    """The same ops over wire='binary' return the same predictions as
+    line-JSON (yaw/pitch to rounding, prefetch mask == index list), and
+    both wires interleave on one port."""
+    server, cfg, fam, params = live_server
+    host, port = server.server_address
+    rng = np.random.default_rng(21)
+    pasts = random_past(rng, 6)
+
+    cj = serving.FovClient(host, port)
+    cb = serving.FovClient(host, port, wire="binary")
+    try:
+        jr = cj.request({"op": "predict_batch", "past": pasts.tolist()})
+        assert "error" not in jr, jr
+        br = cb.request({"op": "predict_batch", "past": pasts})
+        assert "error" not in br, br
+        assert isinstance(br["yaw"], np.ndarray)
+        assert br["yaw"].dtype == np.float32
+        assert br["yaw"].shape == (6, cfg.model.h_out)
+        np.testing.assert_allclose(br["yaw"], jr["yaw"], atol=1e-5)
+        np.testing.assert_allclose(br["pitch"], jr["pitch"], atol=1e-5)
+        assert br["prefetch"].dtype == np.uint8
+        for i in range(6):
+            assert (
+                np.flatnonzero(br["prefetch"][i]).tolist()
+                == jr["prefetch"][i]
+            )
+        # single predict over the binary wire
+        b1 = cb.request({"op": "predict", "past": pasts[0]})
+        np.testing.assert_allclose(b1["yaw"], jr["yaw"][0], atol=1e-5)
+        # dispatch errors answer in-band and KEEP the binary connection
+        bad = cb.request({"op": "nonsense"})
+        assert "error" in bad
+        again = cb.request({"op": "predict", "past": pasts[1]})
+        assert "error" not in again
+        # stats (pure-JSON reply) also rides the binary wire
+        assert "requests" in cb.request({"op": "stats"})
+    finally:
+        cj.close()
+        cb.close()
+
+
+def test_server_binary_grouped_bulk_matches_per_row():
+    """Grouped wire form (group_key + group_sets) over the binary wire ==
+    per-row other_future over JSON, on a peer-consuming family (the
+    server-side expansion path)."""
+    cfg, fam, params = make_setup("cross_user")
+    server = serving.serve_daemon(
+        params, cfg, fam, host="127.0.0.1", port=0,
+        max_batch=8, max_wait_ms=5.0, warmup=False,
+    )
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    host, port = server.server_address
+    rng = np.random.default_rng(5)
+    n, k, t = 4, cfg.n_other_users, cfg.model.h_out
+    pasts = random_past(rng, n)
+    sets = {
+        g: (lambda v: v / np.linalg.norm(v, axis=-1, keepdims=True))(
+            rng.normal(size=(k, t, 3)).astype(np.float32)
+        )
+        for g in ("va", "vb")
+    }
+    keys = ["va", "vb", "va", "vb"]
+    cb = serving.FovClient(host, port, wire="binary")
+    cj = serving.FovClient(host, port)
+    try:
+        br = cb.request({
+            "op": "predict_batch", "past": pasts,
+            "group_key": keys, "group_sets": sets,
+        })
+        assert "error" not in br, br
+        jr = cj.request({
+            "op": "predict_batch", "past": pasts.tolist(),
+            "other_future": np.stack(
+                [sets[g] for g in keys]
+            ).tolist(),
+            "other_mask": np.ones((n, k), np.float32).tolist(),
+        })
+        assert "error" not in jr, jr
+        np.testing.assert_allclose(br["yaw"], jr["yaw"], atol=1e-5)
+        np.testing.assert_allclose(br["pitch"], jr["pitch"], atol=1e-5)
+    finally:
+        cb.close()
+        cj.close()
+        server.shutdown()
+        server.batcher.stop()
+
+
+# -------------------------------------------------------------------------
 # export npz round trip
 # -------------------------------------------------------------------------
 
