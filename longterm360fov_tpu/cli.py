@@ -166,11 +166,13 @@ def _build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--impl", default="xla", choices=("xla", "fused"))
     pr.add_argument(
         "--peer-group", action="store_true",
-        help="GROUP-shared peer serving (transformer families): one "
+        help="GROUP-shared peer serving (peer-consuming families): one "
         "peer set per video — the first K full-span traces, shared by "
         "every viewer of that video (a viewer may appear in its own "
         "peer set offline; live daemons can't, their own future is "
-        "unobserved) — served with one peer K/V copy per video "
+        "unobserved). Transformers share projected peer K/V in the "
+        "kernel; cross_user gathers per row on-device — either way one "
+        "peer copy per video crosses host→device "
         "(serving.make_grouped_serve_fn, the peer-dedup tier)",
     )
 
@@ -751,10 +753,12 @@ def cmd_predict(args):
     cfg = _preset_cfg(args)
     fam = get_family(cfg.model_family)
     if args.peer_group:
-        if cfg.model_family != "transformer" or args.peers == 0:
+        if cfg.model_family not in ("transformer", "cross_user") \
+                or args.peers == 0:
             raise SystemExit(
-                "--peer-group is the transformer families' shared-peer "
-                "tier; needs a transformer preset and K > 0 peers"
+                "--peer-group is the peer-consuming families' shared-"
+                "peer tier; needs a transformer or cross_user preset "
+                "and K > 0 peers"
             )
         if args.at_frame is None:
             raise SystemExit(
@@ -857,7 +861,7 @@ def cmd_predict(args):
         gfn = SV.make_grouped_serve_fn(
             params, cfg, fam, with_tiles=args.tiles,
             tile_rows=args.tile_rows, tile_cols=args.tile_cols,
-            fov_deg=args.fov,
+            fov_deg=args.fov, impl=args.impl,
         )
         host = SV.grouped_predict(gfn, np.stack(pasts), keys, sets, masks)
         yaw = np.degrees(host["yaw"])

@@ -807,22 +807,37 @@ def make_grouped_serve_fn(
     tile_b: int = 128,
     param_store: Optional["ParamStore"] = None,
     packed: bool = False,
+    impl: str = "auto",
 ) -> Callable:
     """GROUP-shared peer serving program (the production wiring of the
     peer-dedup tier, VERDICT r4 next #1): one jitted function
     ``(past, group_future, group_mask, gid) → {"yaw","pitch"
-    [,"prefetch"]}`` where peer K/V is projected ONCE per video group
-    instead of once per viewer.
+    [,"prefetch"]}`` where each video's peer set lives ONCE on the
+    device instead of once per viewer.
 
     Inputs are the :func:`group_pack` layout: ``past`` (B_packed, h_in,
     3) raw xyz sorted group-pure per ``tile_b`` rows, ``group_future``
     (G, K, h_out, 3) RAW (unanchored) shared peer sets in group order,
     ``group_mask`` (G, K) validity, ``gid`` (B_packed,) row → group.
-    Per-target anchoring — the trained ``batch_extras`` semantics — is
-    applied exactly via the kernel's δv correction
-    (models.transformer.serve_fused ``peer_anchor``), so results match
-    the per-row serve path (CI parity test).
 
+    Two tiers behind one signature:
+
+    - **transformer**: peer K/V is *projected* once per group inside the
+      shared-KV Pallas kernel; per-target anchoring — the trained
+      ``batch_extras`` semantics — is exact via the kernel's δv
+      correction (models.transformer.serve_fused ``peer_anchor``).
+    - **every other peer-consuming family** (cross_user incl. the
+      lockstep ``peer_align`` record preset): the per-row peer tensor is
+      materialized by a ``gfut[gid]`` gather INSIDE the jit, then the
+      family's standard serve path runs unchanged. Same math as per-row
+      serving (CI parity test), but the host→device transfer carries
+      (G, K, T, 3) instead of (B, K, T, 3) — at the record preset
+      (K=7, h=100, G=8, B=2048) that is 67 KB instead of 17 MB per
+      dispatch, which is the daemon's bulk wall on relay-attached hosts
+      (BASELINE.md r5 daemon section).
+
+    ``impl`` mirrors :func:`make_serve_fn`: "fused" routes the family's
+    Pallas serve tier, "xla" the scan path, "auto" picks by backend.
     Same output/packing contract as :func:`make_serve_fn`; use
     :func:`grouped_predict` for the host-side pack → serve → unsort
     round trip."""
@@ -830,22 +845,45 @@ def make_grouped_serve_fn(
     import jax.numpy as jnp
 
     from . import geometry, infer, windows
+    from .train import default_extras
 
     serve_fused = getattr(fam, "serve_fused", None)
-    if cfg.model_family != "transformer" or serve_fused is None:
-        raise ValueError(
-            f"grouped (shared peer K/V) serving is a transformer-family "
-            f"tier; preset {cfg.name!r} is {cfg.model_family!r} — use "
-            f"make_serve_fn"
-        )
+    if impl == "auto":
+        impl = "fused" if jax.default_backend() == "tpu" else "xla"
+
+    if cfg.model_family == "transformer":
+        if serve_fused is None:
+            raise ValueError("transformer family lost its fused serve tier")
+
+        def core(p, past_n, anchor, gfut, gmask, gid):
+            return serve_fused(
+                p, cfg.model, past_n,
+                group_future_n=gfut, group_mask=gmask, peer_gid=gid,
+                peer_anchor=anchor[:, 0], tile_b=tile_b,
+            )
+    else:
+        extras_fn = getattr(fam, "batch_extras", None) or default_extras
+        if "other_future" not in extra_specs_for(cfg):
+            raise ValueError(
+                f"preset {cfg.name!r} ({cfg.model_family!r}) consumes no "
+                f"peer context — grouped serving has nothing to share; "
+                f"use make_serve_fn"
+            )
+        if impl == "fused" and serve_fused is None:
+            raise ValueError(
+                f"model family {cfg.model_family!r} has no fused serve tier"
+            )
+
+        def core(p, past_n, anchor, gfut, gmask, gid):
+            batch = {"other_future": gfut[gid], "other_mask": gmask[gid]}
+            kw = extras_fn(batch, anchor)
+            if impl == "fused":
+                return serve_fused(p, cfg.model, past_n, **kw)
+            return fam.apply(p, cfg.model, past_n, None, **kw)
 
     def serve(p, past, gfut, gmask, gid):
         past_n, _, anchor = windows.normalize_window(past)
-        pred_n = serve_fused(
-            p, cfg.model, past_n,
-            group_future_n=gfut, group_mask=gmask, peer_gid=gid,
-            peer_anchor=anchor[:, 0], tile_b=tile_b,
-        )
+        pred_n = core(p, past_n, anchor, gfut, gmask, gid)
         xyz = windows.denormalize_window(pred_n, anchor, to_sphere=True)
         yaw, pitch = geometry.xyz_to_euler(xyz)
         out = {"yaw": yaw, "pitch": pitch}
@@ -1338,12 +1376,14 @@ class FovServer(socketserver.ThreadingTCPServer):
        "group_sets": {key: [[...] × K]},
        "group_masks"?: {key: [K]}               → GROUP-shared peer
                                                   serving (peer dedup):
-                                                  one peer K/V copy per
-                                                  video on the device;
-                                                  transformer presets
-                                                  route the shared-KV
+                                                  one peer copy per
+                                                  video crosses wire +
+                                                  PCIe/relay; on device
+                                                  transformers share
+                                                  projected K/V in the
                                                   kernel, other families
-                                                  expand per row
+                                                  gather per-row inside
+                                                  the jit
       {"op": "stats", "id"}                     → batcher + session stats
       {"op": "drop", "id", "viewer"}            → forget a session
       {"op": "reload", "id", "path": npz}       → hot-swap params from an
@@ -1445,9 +1485,10 @@ class FovServer(socketserver.ThreadingTCPServer):
                         self.grouped_fn, pasts, gkeys, sets, masks
                     )
                     return self._bulk_reply(rid, host, raw=raw_arrays)
-                # family without the shared tier: expand the shared sets
-                # to per-row extras and ride the normal bulk path
-                # (identical semantics, per-row device cost)
+                # server built without the grouped program (mesh-sharded
+                # daemon, or grouped=False): expand the shared sets to
+                # per-row extras and ride the normal bulk path
+                # (identical semantics, per-row transfer cost)
                 missing = [k for k in dict.fromkeys(gkeys) if k not in sets]
                 if missing:
                     raise KeyError(
@@ -1723,15 +1764,14 @@ def serve_daemon(
     grouped_fn = None
     if (
         grouped
-        and cfg.model_family == "transformer"
-        and cfg.n_other_users > 0
+        and "other_future" in specs
         and mesh is None  # grouped dispatch is single-program for now
     ):
         grouped_fn = make_grouped_serve_fn(
             params, cfg, fam,
             with_tiles=with_tiles, tile_rows=tile_rows,
             tile_cols=tile_cols, fov_deg=fov_deg,
-            param_store=store, packed=True,
+            param_store=store, packed=True, impl=impl,
         )
     return FovServer(
         (host, port), batcher, reload_ctx=(store, cfg, fam),

@@ -431,9 +431,33 @@ def test_predict_peer_group_shared_tier(tmp_path, capsys):
     assert all(len(r["yaw_deg"]) == 10 for r in rows)
     assert all("prefetch_tiles" in r for r in rows)
 
-    # guard rails: non-transformer preset / missing --at-frame
+    # cross_user (incl. the record recipe's family) rides the generic
+    # grouped tier: device-side gfut[gid] gather, same output contract
+    ccfg = get_preset(
+        "stacked-ss-crossuser", model_h_in=10, model_h_out=10
+    )
+    cfam = get_family("cross_user")
+    cparams = cfam.init(jax.random.PRNGKey(1), ccfg.model)
+    cnpz = str(tmp_path / "cu_params.npz")
+    np.savez(cnpz, **{
+        k: np.asarray(v) for k, v in SV.flat_param_items(cparams)
+    })
+    cu_out = str(tmp_path / "cu_pred.jsonl")
+    cli.main(
+        ["predict", "--preset", "stacked-ss-crossuser",
+         "--h-in", "10", "--h-out", "10",
+         "--params", cnpz, "--at-frame", "400",
+         "--peers", "2", "--peer-group", "--tiles", "--out", cu_out]
+    )
+    cu_rows = [json.loads(ln) for ln in open(cu_out)]
+    assert len(cu_rows) == 8
+    assert all(r["peers_used"] == 2 for r in cu_rows)
+    assert all(len(r["yaw_deg"]) == 10 for r in cu_rows)
+    assert all("prefetch_tiles" in r for r in cu_rows)
+
+    # guard rails: peerless preset / missing --at-frame
     # (both fire before any params load)
-    with pytest.raises(SystemExit, match="transformer"):
+    with pytest.raises(SystemExit, match="transformer or cross_user"):
         cli.main(
             ["predict", "--preset", "lstm-xyz-10", "--params", npz,
              "--peer-group", "--at-frame", "50"]

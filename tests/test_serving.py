@@ -1270,11 +1270,63 @@ def test_grouped_predict_packed_and_missing_set():
     with pytest.raises(KeyError, match="v1"):
         serving.grouped_predict(gfn, pasts, ["v0", "v1", "v0"], sets)
 
-    # non-transformer families reject the grouped builder loudly
-    with pytest.raises(ValueError, match="transformer"):
+    # families without peer context reject the grouped builder loudly
+    with pytest.raises(ValueError, match="no peer context"):
         serving.make_grouped_serve_fn(
-            params, tiny_cfg("cross_user"), get_family("cross_user")
+            params, tiny_cfg("seq2seq"), get_family("seq2seq")
         )
+
+
+def test_grouped_serve_fn_cross_user_matches_per_row():
+    """r5 continuation: the generic grouped tier (device-side gfut[gid]
+    gather) == per-row serving for the cross_user family, both for the
+    static-context model and the peer_align (lockstep record recipe)
+    model — the host/wire carries one peer set per video either way."""
+    from longterm360fov_tpu.models import get_family
+
+    for peer_align in (False, True):
+        cfg = ExperimentConfig(
+            name=f"tiny-crossuser-grouped-{peer_align}",
+            model=Seq2SeqConfig(
+                d=3, hidden=16, layers=1, h_in=5, h_out=4, ctx_dim=16,
+                peer_align=peer_align,
+            ),
+            model_family="cross_user",
+            n_other_users=2,
+        )
+        fam = get_family("cross_user")
+        params = fam.init(jax.random.PRNGKey(8), cfg.model)
+        rng = np.random.default_rng(8)
+        n, k = 5, 2
+        pasts = random_past(rng, n=n, h_in=5)
+        keys = ["v1", "v0", "v0", "v1", "v0"]
+        sets = {
+            v: rng.normal(size=(k, 4, 3)).astype(np.float32) * 0.1
+            for v in ("v0", "v1")
+        }
+        masks = {"v0": np.ones(k, np.float32),
+                 "v1": np.array([1, 0], np.float32)}
+
+        gfn = serving.make_grouped_serve_fn(
+            params, cfg, fam, with_tiles=True, tile_b=128, impl="xla"
+        )
+        got = serving.grouped_predict(gfn, pasts, keys, sets, masks)
+
+        per_row = serving.make_serve_fn(
+            params, cfg, fam, with_tiles=True, impl="xla"
+        )
+        batch = {
+            "past": jnp.asarray(pasts),
+            "other_future": jnp.asarray(np.stack([sets[v] for v in keys])),
+            "other_mask": jnp.asarray(np.stack([masks[v] for v in keys])),
+        }
+        ref = {kk: np.asarray(vv) for kk, vv in per_row(batch).items()}
+        np.testing.assert_allclose(
+            got["yaw"], ref["yaw"], atol=1e-4,
+            err_msg=f"peer_align={peer_align}",
+        )
+        np.testing.assert_allclose(got["pitch"], ref["pitch"], atol=1e-4)
+        assert (got["prefetch"] == ref["prefetch"]).mean() > 0.99
 
 
 def test_daemon_grouped_predict_batch_matches_per_row():
