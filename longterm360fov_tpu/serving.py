@@ -1675,6 +1675,22 @@ class FovClient:
     def predict(self, past, **extras) -> Dict:
         return self.request({"op": "predict", "past": past, **extras})
 
+    def predict_group(
+        self, pasts, group_key, group_sets, group_masks=None
+    ) -> Dict:
+        """Bulk predict in the grouped (peer-dedup) wire form: each
+        video's peer set crosses the wire once. ``pasts`` (N, h_in, 3),
+        ``group_key`` length-N video ids, ``group_sets`` id → (K, h_out,
+        3) raw peer windows. With ``wire="binary"`` pass numpy arrays;
+        with JSON pass lists."""
+        req = {
+            "op": "predict_batch", "past": pasts,
+            "group_key": list(group_key), "group_sets": dict(group_sets),
+        }
+        if group_masks is not None:
+            req["group_masks"] = dict(group_masks)
+        return self.request(req)
+
     def push(self, viewer: str, pose) -> Dict:
         return self.request({"op": "push", "viewer": viewer, "pose": pose})
 

@@ -1038,10 +1038,7 @@ def test_server_binary_grouped_bulk_matches_per_row():
     cb = serving.FovClient(host, port, wire="binary")
     cj = serving.FovClient(host, port)
     try:
-        br = cb.request({
-            "op": "predict_batch", "past": pasts,
-            "group_key": keys, "group_sets": sets,
-        })
+        br = cb.predict_group(pasts, keys, sets)
         assert "error" not in br, br
         jr = cj.request({
             "op": "predict_batch", "past": pasts.tolist(),
