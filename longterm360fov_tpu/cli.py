@@ -232,6 +232,14 @@ def _build_parser() -> argparse.ArgumentParser:
         help="batches allowed in flight awaiting device readback; "
         "overlaps host batching with device compute (1 = minimal)",
     )
+    sd.add_argument(
+        "--grouped-warmup", default=None,
+        help="pre-compile the GROUPED bulk path for these shapes before "
+        "the socket opens: 'ROWSxGROUPS[,ROWSxGROUPS...]', e.g. "
+        "'2048x8,256x4' — the grouped gateway has its own row/group "
+        "bucket ladders, so the per-row warmup does not cover it and "
+        "the first live grouped request would pay the compile",
+    )
     sd.add_argument("--no-tiles", action="store_true",
                     help="skip prefetch tile sets in responses")
     sd.add_argument("--tile-rows", type=int, default=6)
@@ -1004,6 +1012,21 @@ def cmd_serve_daemon(args):
     from . import train as TR
     from .models import get_family
 
+    gwarm = None
+    if args.grouped_warmup:
+        # validate BEFORE the (possibly slow) params load
+        try:
+            gwarm = [
+                tuple(int(v) for v in part.lower().split("x"))
+                for part in args.grouped_warmup.split(",")
+            ]
+            if any(len(p) != 2 or p[0] < 1 or p[1] < 1 for p in gwarm):
+                raise ValueError
+        except ValueError:
+            raise SystemExit(
+                f"--grouped-warmup wants 'ROWSxGROUPS[,...]' with "
+                f"positive integers, got {args.grouped_warmup!r}"
+            )
     cfg = _preset_cfg(args)
     fam = get_family(cfg.model_family)
     if args.params:
@@ -1025,6 +1048,7 @@ def cmd_serve_daemon(args):
         tile_rows=args.tile_rows, tile_cols=args.tile_cols,
         fov_deg=args.fov, impl=args.impl, mesh=mesh,
         pipeline_depth=args.pipeline_depth,
+        grouped_warmup=gwarm,
     )
     print(
         json.dumps(

@@ -1727,6 +1727,7 @@ def serve_daemon(
     warmup: bool = True,
     pipeline_depth: int = 4,
     grouped: bool = True,
+    grouped_warmup: Optional[list] = None,
 ) -> FovServer:
     """Build the jitted serve fn + batcher + TCP server (not yet
     serving — call ``serve_forever()`` or use it from tests). With
@@ -1735,7 +1736,15 @@ def serve_daemon(
     request ever pays an XLA compile. ``mesh`` shards every dispatch
     over the mesh's 'data' axis (one daemon, all local chips). The
     server supports the "reload" op: hot-swap params from a new
-    `export` npz with zero downtime."""
+    `export` npz with zero downtime.
+
+    ``grouped_warmup``: list of ``(n_rows, n_groups)`` pairs to
+    pre-compile on the GROUPED bulk path (its row/group bucket ladders
+    are per-shape, so the per-row warmup above does not cover them —
+    and the first live grouped request would otherwise stall behind a
+    Pallas compile, minutes at the 100-frame presets). Each pair warms
+    the bucket pair its sizes ladder up to; list the bulk shapes your
+    gateways actually send."""
     store = ParamStore(params)
     serve_fn = make_serve_fn(
         params,
@@ -1752,6 +1761,12 @@ def serve_daemon(
     )
     specs = extra_specs_for(cfg)
     divisor = 1 if mesh is None else int(mesh.devices.size)
+    want_grouped = grouped and "other_future" in specs and mesh is None
+    if grouped_warmup and not want_grouped:
+        raise ValueError(
+            "grouped_warmup given but this server has no grouped path "
+            "(peerless preset, grouped=False, or mesh-sharded daemon)"
+        )
     if warmup:
         # compile the WHOLE ladder up front: a mid-traffic bucket compile
         # would stall the single dispatcher thread (and with it every
@@ -1778,17 +1793,23 @@ def serve_daemon(
         pipeline_depth=pipeline_depth,
     )
     grouped_fn = None
-    if (
-        grouped
-        and "other_future" in specs
-        and mesh is None  # grouped dispatch is single-program for now
-    ):
+    if want_grouped:  # grouped dispatch is single-program for now
         grouped_fn = make_grouped_serve_fn(
             params, cfg, fam,
             with_tiles=with_tiles, tile_rows=tile_rows,
             tile_cols=tile_cols, fov_deg=fov_deg,
             param_store=store, packed=True, impl=impl,
         )
+        if grouped_warmup:
+            k, t = specs["other_future"][:2]
+            for n_rows, n_groups in grouped_warmup:
+                pasts = np.zeros((int(n_rows), cfg.model.h_in, 3), np.float32)
+                pasts[..., 0] = 1.0  # on-sphere
+                peers = np.zeros((k, t, 3), np.float32)
+                peers[..., 0] = 1.0
+                keys = [f"_warm{i % int(n_groups)}" for i in range(int(n_rows))]
+                sets = {f"_warm{i}": peers for i in range(int(n_groups))}
+                grouped_predict(grouped_fn, pasts, keys, sets)
     return FovServer(
         (host, port), batcher, reload_ctx=(store, cfg, fam),
         grouped_fn=grouped_fn,

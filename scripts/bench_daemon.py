@@ -86,6 +86,12 @@ def main():
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
         with_tiles=not args.no_tiles, impl=args.impl,
         pipeline_depth=args.pipeline_depth,
+        # pre-compile the grouped gateway at the benchmarked shape so
+        # compile cost lands in the warmup line, not the warm requests
+        grouped_warmup=(
+            [(args.bulk, args.groups)]
+            if args.bulk and args.groups and args.peers else None
+        ),
     )
     print(f"warmup (all buckets): {time.time()-t0:.1f}s", file=sys.stderr)
     threading.Thread(target=server.serve_forever, daemon=True).start()

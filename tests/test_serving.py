@@ -1274,6 +1274,30 @@ def test_grouped_predict_packed_and_missing_set():
         )
 
 
+def test_serve_daemon_grouped_warmup():
+    """grouped_warmup pre-compiles the grouped gateway's bucket pairs
+    (the per-row ladder warmup does not cover them) and rejects loudly
+    when the server has no grouped path."""
+    cfg, fam, params = make_setup("cross_user")
+    server = serving.serve_daemon(
+        params, cfg, fam, host="127.0.0.1", port=0,
+        max_batch=8, max_wait_ms=5.0, warmup=False,
+        grouped_warmup=[(4, 2)],
+    )
+    try:
+        assert server.grouped_fn is not None
+    finally:
+        server.server_close()
+        server.batcher.stop()
+
+    scfg, sfam, sparams = make_setup("seq2seq")
+    with pytest.raises(ValueError, match="no grouped path"):
+        serving.serve_daemon(
+            sparams, scfg, sfam, host="127.0.0.1", port=0,
+            max_batch=8, warmup=False, grouped_warmup=[(4, 2)],
+        )
+
+
 def test_grouped_serve_fn_cross_user_matches_per_row():
     """r5 continuation: the generic grouped tier (device-side gfut[gid]
     gather) == per-row serving for the cross_user family, both for the
