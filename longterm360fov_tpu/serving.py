@@ -1274,16 +1274,28 @@ def read_frame(rfile, first: bytes = b"") -> Dict:
     for ent in manifest:
         if ent["dtype"] not in _BIN_DTYPES:
             raise ValueError(f"dtype {ent['dtype']!r} not on the wire whitelist")
-        n = int(np.prod(ent["shape"], dtype=np.int64)) if ent["shape"] else 1
+        shape = ent["shape"]
+        if not all(isinstance(d, int) and 0 <= d <= _BIN_MAX_PAYLOAD
+                   for d in shape):
+            # a negative dim would make the payload length negative and
+            # turn the exact read into a read-to-EOF (handler hang)
+            raise ValueError(f"bad shape {shape} in frame manifest")
+        n = 1
+        for d in shape:  # Python ints: no silent int64 overflow
+            n *= d
         total += n * np.dtype(ent["dtype"]).itemsize
-    if total > _BIN_MAX_PAYLOAD:
-        raise ValueError(f"frame payload {total} bytes exceeds the cap")
+        if total > _BIN_MAX_PAYLOAD:
+            raise ValueError(
+                f"frame payload {total} bytes exceeds the cap"
+            )
     payload = _read_exact(rfile, total)
     off = 0
     for ent in manifest:
         dt = np.dtype(ent["dtype"])
         shape = tuple(ent["shape"])
-        n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+        n = 1
+        for d in shape:
+            n *= d
         arr = np.frombuffer(payload, dt, count=n, offset=off).reshape(shape)
         off += n * dt.itemsize
         node = obj

@@ -970,6 +970,16 @@ def test_binary_frame_rejects_hostile_manifest():
         serving.read_frame(io.BytesIO(frame[:-1]))
     with pytest.raises(ValueError, match="magic"):
         serving.read_frame(io.BytesIO(b"XXXX" + frame[4:]))
+    # a negative/overflowing dim must raise, never read-to-EOF (hang)
+    import json as _json
+    import struct as _struct
+    for shape in ([-1], [1 << 30, 1 << 30, 1 << 30]):
+        hdr = _json.dumps({
+            "__bin__": [{"path": ["x"], "dtype": "<f4", "shape": shape}]
+        }).encode()
+        evil = b"FoVB" + _struct.pack("<I", len(hdr)) + hdr
+        with pytest.raises(ValueError, match="shape|payload"):
+            serving.read_frame(io.BytesIO(evil))
 
 
 def test_server_binary_wire_matches_json(live_server):
