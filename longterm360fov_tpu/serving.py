@@ -851,9 +851,28 @@ def make_grouped_serve_fn(
     if impl == "auto":
         impl = "fused" if jax.default_backend() == "tpu" else "xla"
 
-    if cfg.model_family == "transformer":
+    extras_fn = getattr(fam, "batch_extras", None) or default_extras
+    # behavior-based peer-consumption probe (NOT cfg.n_other_users — K
+    # is a serving-time knob, the same params serve any peer count, so
+    # a K=0-trained preset must still be groupable with --peers K):
+    # a family that ignores "other_future" would silently serve every
+    # request peerless, which must be a loud error instead
+    probe = extras_fn(
+        {"other_future": np.zeros((1, 1, 1, 3), np.float32),
+         "other_mask": np.ones((1, 1), np.float32)},
+        np.zeros((1, 1, 3), np.float32),
+    )
+    if not probe:
+        raise ValueError(
+            f"preset {cfg.name!r} ({cfg.model_family!r}) consumes no "
+            f"peer context — grouped serving has nothing to share; "
+            f"use make_serve_fn"
+        )
+
+    if cfg.model_family == "transformer" and impl == "fused":
         if serve_fused is None:
             raise ValueError("transformer family lost its fused serve tier")
+        fn_tile_b = tile_b  # shared-KV kernel: tiles must be group-pure
 
         def core(p, past_n, anchor, gfut, gmask, gid):
             return serve_fused(
@@ -862,17 +881,16 @@ def make_grouped_serve_fn(
                 peer_anchor=anchor[:, 0], tile_b=tile_b,
             )
     else:
-        extras_fn = getattr(fam, "batch_extras", None) or default_extras
-        if "other_future" not in extra_specs_for(cfg):
-            raise ValueError(
-                f"preset {cfg.name!r} ({cfg.model_family!r}) consumes no "
-                f"peer context — grouped serving has nothing to share; "
-                f"use make_serve_fn"
-            )
         if impl == "fused" and serve_fused is None:
             raise ValueError(
                 f"model family {cfg.model_family!r} has no fused serve tier"
             )
+        # generic tier: per-row peers materialize via a gfut[gid] gather
+        # INSIDE the jit (device HBM, not host-link, bandwidth), then
+        # the family's standard serve path runs unchanged. No tile-
+        # purity requirement → no per-group padding (tile_b=1): a
+        # G-videos-of-1-viewer batch packs to G rows, not G·128.
+        fn_tile_b = 1
 
         def core(p, past_n, anchor, gfut, gmask, gid):
             batch = {"other_future": gfut[gid], "other_mask": gmask[gid]}
@@ -904,7 +922,14 @@ def make_grouped_serve_fn(
     fn = lambda past, gfut, gmask, gid: jitted(  # noqa: E731
         store.params, past, gfut, gmask, gid
     )
-    fn.tile_b = tile_b
+    fn.tile_b = fn_tile_b
+    # input contract for grouped_predict's host-side validation (the
+    # per-row path gets this from the batcher's extra_specs; grouped
+    # requests bypass the batcher, so without these a malformed window
+    # would serve out-of-distribution garbage AND compile a new program
+    # per novel wrong shape)
+    fn.h_in = cfg.model.h_in
+    fn.peer_span = cfg.model.h_out
     if packed:
         h_out = cfg.model.h_out
         n_tiles = tile_rows * tile_cols if with_tiles else 0
@@ -951,6 +976,20 @@ def grouped_predict(
         raise ValueError(
             f"{pasts.shape[0]} windows but {len(keys)} group keys"
         )
+    h_in = getattr(fn, "h_in", None)
+    if h_in is not None and pasts.shape[1:] != (h_in, 3):
+        raise ValueError(
+            f"past windows must be (N, {h_in}, 3), got {pasts.shape}"
+        )
+    span = getattr(fn, "peer_span", None)
+    if span is not None:
+        for k, v in group_sets.items():
+            v = np.asarray(v)
+            if v.ndim != 3 or v.shape[1] != span or v.shape[2] != 3:
+                raise ValueError(
+                    f"group_sets[{k!r}] must be (K, {span}, 3), got "
+                    f"{v.shape}"
+                )
     tile_b = getattr(fn, "tile_b", 128)
     perm, gid, inv, uniq = group_pack(keys, tile_b)
     missing = [k for k in uniq if k not in group_sets]
@@ -1423,12 +1462,23 @@ class FovServer(socketserver.ThreadingTCPServer):
         request_timeout: float = 30.0,
         reload_ctx: Optional[Tuple[ParamStore, object, object]] = None,
         grouped_fn: Optional[Callable] = None,
+        grouped_inflight: int = 4,
     ):
         super().__init__(addr, _Handler)
         self.batcher = batcher
         self.sessions = ViewerSessions(batcher.h_in)
         self.request_timeout = request_timeout
         self.reload_ctx = reload_ctx  # (param_store, cfg, fam) or None
+        # grouped requests dispatch on the handler thread (they bypass
+        # the DynamicBatcher — group composition varies per request):
+        # bound how many run at once so a burst cannot stack unbounded
+        # device work / stalled threads, and account them for "stats"
+        self._grouped_sem = threading.BoundedSemaphore(grouped_inflight)
+        self._grouped_lock = threading.Lock()
+        self._grouped_requests = 0
+        self._grouped_windows = 0
+        self._grouped_rejected = 0
+        self._grouped_lat = deque(maxlen=1024)
         # GROUP-shared peer serving program (make_grouped_serve_fn) for
         # "predict_batch" requests carrying "group_key"/"group_sets" —
         # the gateway bulk path dispatches it directly (group
@@ -1493,9 +1543,28 @@ class FovServer(socketserver.ThreadingTCPServer):
                         for k, v in masks.items()
                     }
                 if self.grouped_fn is not None:
-                    host = grouped_predict(
-                        self.grouped_fn, pasts, gkeys, sets, masks
-                    )
+                    # admission: wait up to the request timeout for a
+                    # dispatch slot, then reject loudly (the client can
+                    # back off) instead of stacking handler threads
+                    if not self._grouped_sem.acquire(
+                        timeout=self.request_timeout
+                    ):
+                        with self._grouped_lock:
+                            self._grouped_rejected += 1
+                        raise RuntimeError(
+                            "grouped path overloaded; retry with backoff"
+                        )
+                    t0 = time.monotonic()
+                    try:
+                        host = grouped_predict(
+                            self.grouped_fn, pasts, gkeys, sets, masks
+                        )
+                    finally:
+                        self._grouped_sem.release()
+                    with self._grouped_lock:
+                        self._grouped_requests += 1
+                        self._grouped_windows += pasts.shape[0]
+                        self._grouped_lat.append(time.monotonic() - t0)
                     return self._bulk_reply(rid, host, raw=raw_arrays)
                 # server built without the grouped program (mesh-sharded
                 # daemon, or grouped=False): expand the shared sets to
@@ -1573,6 +1642,24 @@ class FovServer(socketserver.ThreadingTCPServer):
             )
             if self.peers is not None:
                 s["peer_pool"] = self.peers.stats()
+            if self.grouped_fn is not None:
+                # grouped traffic bypasses the batcher — without this
+                # block a grouped-heavy daemon looks idle in "stats"
+                with self._grouped_lock:
+                    lat = sorted(self._grouped_lat)
+                    g = {
+                        "requests": self._grouped_requests,
+                        "windows": self._grouped_windows,
+                        "rejected": self._grouped_rejected,
+                    }
+                if lat:
+                    pick = lambda q: round(  # noqa: E731
+                        lat[int(q * (len(lat) - 1))] * 1e3, 3
+                    )
+                    g["latency_ms_p50"] = pick(0.50)
+                    g["latency_ms_p95"] = pick(0.95)
+                    g["latency_ms_p99"] = pick(0.99)
+                s["grouped"] = g
             return s
         if op == "drop":
             self.sessions.drop(str(req["viewer"]))

@@ -11,8 +11,10 @@ must go through ``jax.config.update`` before the first backend
 initialization instead.
 """
 
+import getpass
 import os
 import sys
+import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -33,7 +35,13 @@ jax.config.update("jax_platforms", "cpu")
 # dir that travels with the repo, not this one. Warm reruns of the
 # fast tier measure ~1.7x faster (the suite is XLA-CPU-compile-bound
 # on this 1-core box).
+# per-user suffix: a world-shared fixed path breaks for the second
+# user on a multi-user host (their writes hit the first user's files)
 jax.config.update(
-    "jax_compilation_cache_dir", "/tmp/ltf-xla-test-cache"
+    "jax_compilation_cache_dir",
+    os.path.join(
+        tempfile.gettempdir(),
+        f"ltf-xla-test-cache-{getpass.getuser()}",
+    ),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)

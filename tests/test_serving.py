@@ -1234,8 +1234,10 @@ def test_grouped_predict_matches_per_row_serve_path():
     masks = {"v0": np.ones(k, np.float32),
              "v1": np.array([1, 1, 0], np.float32)}
 
+    # impl="fused" pins the shared-KV δv kernel path (interpret mode on
+    # CPU); "auto" would resolve to the generic gather tier off-TPU
     gfn = serving.make_grouped_serve_fn(
-        params, cfg, fam, with_tiles=True, tile_b=128
+        params, cfg, fam, with_tiles=True, tile_b=128, impl="fused"
     )
     got = serving.grouped_predict(gfn, pasts, keys, sets, masks)
 
@@ -1282,6 +1284,57 @@ def test_grouped_predict_packed_and_missing_set():
         serving.make_grouped_serve_fn(
             params, tiny_cfg("seq2seq"), get_family("seq2seq")
         )
+
+
+def test_grouped_path_stats_validation_and_admission():
+    """The grouped gateway (bypasses the batcher) still has the daemon
+    contract: malformed shapes answer with errors (not garbage), stats
+    count its traffic, and an overloaded path rejects loudly."""
+    cfg, fam, params = make_setup("cross_user")
+    server = serving.serve_daemon(
+        params, cfg, fam, host="127.0.0.1", port=0,
+        max_batch=8, max_wait_ms=5.0, warmup=False,
+    )
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    host, port = server.server_address
+    rng = np.random.default_rng(9)
+    k, t = cfg.n_other_users, cfg.model.h_out
+    sets = {"v": rng.normal(size=(k, t, 3)).astype(np.float32)}
+    c = serving.FovClient(host, port, wire="binary")
+    try:
+        good = c.predict_group(random_past(rng, 3), ["v"] * 3, sets)
+        assert "error" not in good, good
+
+        # wrong h_in → loud error, never an out-of-distribution answer
+        bad = c.predict_group(
+            random_past(rng, 3, h_in=7), ["v"] * 3, sets
+        )
+        assert "error" in bad and "past windows" in bad["error"]
+        # wrong peer span → loud error
+        bad2 = c.predict_group(
+            random_past(rng, 3),
+            ["w"] * 3,
+            {"w": rng.normal(size=(k, t + 2, 3)).astype(np.float32)},
+        )
+        assert "error" in bad2 and "group_sets" in bad2["error"]
+
+        st = c.request({"op": "stats"})
+        assert st["grouped"]["requests"] == 1
+        assert st["grouped"]["windows"] == 3
+        assert st["grouped"]["rejected"] == 0
+        assert "latency_ms_p50" in st["grouped"]
+
+        # admission: zero slots + tiny timeout → reject with backoff
+        server._grouped_sem = threading.BoundedSemaphore(0)
+        server.request_timeout = 0.1
+        rej = c.predict_group(random_past(rng, 2), ["v"] * 2, sets)
+        assert "error" in rej and "overloaded" in rej["error"]
+        st2 = c.request({"op": "stats"})
+        assert st2["grouped"]["rejected"] == 1
+    finally:
+        c.close()
+        server.shutdown()
+        server.batcher.stop()
 
 
 def test_serve_daemon_grouped_warmup():
